@@ -1,0 +1,97 @@
+import numpy as np
+import pytest
+from scipy.ndimage import uniform_filter
+from scipy.spatial.transform import Rotation
+
+from viewformer_tpu.utils import metrics as M
+
+
+def _ssim_numpy_oracle(X, Y, K1=0.01, K2=0.03, win_size=7, data_range=1.0):
+    """Independent scikit-image-style SSIM in scipy (crop VALID borders)."""
+    pad = win_size // 2
+    NP = win_size ** 2
+    cov_norm = NP / (NP - 1)
+
+    def filt(img):
+        out = np.stack([uniform_filter(img[..., c], size=win_size, mode='constant')
+                        for c in range(img.shape[-1])], -1)
+        return out[pad:-pad, pad:-pad]
+
+    ux, uy = filt(X), filt(Y)
+    uxx, uyy, uxy = filt(X * X), filt(Y * Y), filt(X * Y)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    C1, C2 = (K1 * data_range) ** 2, (K2 * data_range) ** 2
+    S = ((2 * ux * uy + C1) * (2 * vxy + C2)) / ((ux ** 2 + uy ** 2 + C1) * (vx + vy + C2))
+    return S.mean()
+
+
+def test_psnr_known_value():
+    gt = np.zeros((1, 8, 8, 3), np.float32)
+    img = np.full((1, 8, 8, 3), 0.1, np.float32)
+    # mse = 0.01 -> psnr = 20
+    assert float(M.psnr(gt, img)[0]) == pytest.approx(20.0, abs=1e-3)
+
+
+def test_psnr_identical_is_large():
+    x = np.random.RandomState(0).rand(2, 16, 16, 3).astype(np.float32)
+    assert np.all(np.asarray(M.psnr(x, x)) > 60)
+
+
+def test_ssim_matches_scipy_oracle():
+    rng = np.random.RandomState(0)
+    X = rng.rand(24, 24, 3).astype(np.float32)
+    Y = np.clip(X + 0.1 * rng.randn(24, 24, 3).astype(np.float32), 0, 1)
+    ours = float(M.ssim(X[None], Y[None])[0])
+    oracle = _ssim_numpy_oracle(X.astype(np.float64), Y.astype(np.float64))
+    assert ours == pytest.approx(oracle, abs=1e-4)
+
+
+def test_ssim_identical_images():
+    x = np.random.RandomState(1).rand(1, 16, 16, 3).astype(np.float32)
+    assert float(M.ssim(x, x)[0]) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_camera_orientation_error():
+    q1 = Rotation.from_euler('y', 0.2).as_quat()
+    q2 = Rotation.from_euler('y', 0.5).as_quat()
+    # to (w, x, y, z)
+    pose1 = np.concatenate([np.zeros(3), q1[3:], q1[:3]]).astype(np.float32)
+    pose2 = np.concatenate([np.zeros(3), q2[3:], q2[:3]]).astype(np.float32)
+    err = float(M.camera_orientation_error(pose1, pose2))
+    assert err == pytest.approx(0.3, abs=1e-5)
+
+
+def test_camera_position_error():
+    pose1 = np.array([0, 0, 0, 1, 0, 0, 0], np.float32)
+    pose2 = np.array([3, 4, 0, 1, 0, 0, 0], np.float32)
+    assert float(M.camera_position_error(pose1, pose2)) == pytest.approx(5.0)
+
+
+def test_streaming_mean_and_median():
+    m = M.Mean('m')
+    m.update_state(np.array([1.0, 2.0, 3.0]))
+    m.update_state(np.array([4.0]))
+    assert m.result() == pytest.approx(2.5)
+
+    med = M.Median('med')
+    med.update_state(np.array([5.0, 1.0]))
+    med.update_state(np.array([3.0]))
+    assert med.result() == pytest.approx(3.0)
+    med.update_state(np.array([10.0]))
+    assert med.result() == pytest.approx(4.0)
+
+
+def test_allow_nan_mean():
+    m = M.Mean('m', allow_nan=True)
+    m.update_state(np.array([1.0, np.nan, 3.0]))
+    assert m.result() == pytest.approx(2.0)
+
+
+def test_rmse_metric():
+    gt = np.zeros((1, 4, 4, 3), np.float32)
+    img = np.full((1, 4, 4, 3), 0.5, np.float32)
+    m = M.ImageRMSE()
+    m.update_state(gt, img)
+    assert m.result() == pytest.approx(127.5)
