@@ -1,0 +1,91 @@
+import numpy as np
+import pytest
+
+from viewformer_tpu.data import generate_dataset_from_loader, transform_dataset
+from viewformer_tpu.data.loaders import build
+from viewformer_tpu.data.pipeline import load_image_dataset, load_token_dataset
+
+
+@pytest.fixture(scope='module')
+def datasets(tmp_path_factory):
+    path = tmp_path_factory.mktemp('pipe')
+    for split, n in (('train', 6), ('test', 2)):
+        loader = build('colors', split=split, num_sequences=n, sequence_size=6, image_size=32)
+        generate_dataset_from_loader(loader, split, str(path / 'colors'),
+                                     max_sequences_per_shard=2, progress=False)
+
+    class CodesTransformer:
+        def output_features(self, features):
+            return ['codes', 'cameras']
+
+        def update_dataset_info(self, info):
+            info['token_image_size'] = 2
+            return info
+
+        def __call__(self, split, dataset):
+            for item in dataset:
+                n = len(item['frames'])
+                yield dict(cameras=item['cameras'],
+                           codes=np.arange(n * 4).reshape(n, 2, 2) % 16)
+
+    codes_path = str(path / 'codes')
+    transform_dataset(str(path), codes_path, CodesTransformer(), progress=False)
+    return str(path), codes_path
+
+
+def test_image_pipeline_shapes_and_range(datasets):
+    image_path, _ = datasets
+    it = iter(load_image_dataset(image_path, batch_size=8, image_size=32, split='train'))
+    batch = next(it)
+    assert batch.shape == (8, 32, 32, 3)
+    assert batch.dtype == np.float32
+    assert batch.min() >= -1.0 and batch.max() <= 1.0
+    assert batch.min() < -0.1  # actually normalized, not [0,1]
+
+
+def test_image_pipeline_epoch_count(datasets):
+    image_path, _ = datasets
+    batches = list(load_image_dataset(image_path, batch_size=8, image_size=32,
+                                      split='train', shuffle=False))
+    # 6 sequences * 6 frames = 36 images -> 4 full batches of 8
+    assert len(batches) == 4
+
+
+def test_token_pipeline(datasets):
+    _, codes_path = datasets
+    it = iter(load_token_dataset(codes_path, batch_size=4, sequence_size=3,
+                                 token_image_size=2, split='train', repeat=-1))
+    poses, tokens = next(it)
+    assert poses.shape == (4, 3, 7)
+    assert tokens.shape == (4, 3, 2, 2)
+    assert tokens.dtype == np.int64
+    assert poses.dtype == np.float32
+
+
+def test_token_pipeline_transform_applied(datasets):
+    _, codes_path = datasets
+
+    def transform(cameras, tokens, split):
+        return cameras * 0 + 7.0, tokens
+
+    it = iter(load_token_dataset(codes_path, batch_size=2, sequence_size=3,
+                                 token_image_size=2, split='train', transform=transform))
+    poses, _ = next(it)
+    np.testing.assert_array_equal(poses, np.full_like(poses, 7.0))
+
+
+def test_token_pipeline_test_split(datasets):
+    _, codes_path = datasets
+    batches = list(load_token_dataset(codes_path, batch_size=2, sequence_size=3,
+                                      token_image_size=2, split='test', shuffle=False))
+    # 2 sequences * (6//3)=2 chunks = 4 samples -> 2 batches of 2
+    assert len(batches) == 2
+
+
+def test_deterministic_with_seed(datasets):
+    _, codes_path = datasets
+    a = next(iter(load_token_dataset(codes_path, batch_size=2, sequence_size=3,
+                                     token_image_size=2, seed=5)))
+    b = next(iter(load_token_dataset(codes_path, batch_size=2, sequence_size=3,
+                                     token_image_size=2, seed=5)))
+    np.testing.assert_array_equal(a[1], b[1])

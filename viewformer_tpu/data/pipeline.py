@@ -1,0 +1,237 @@
+"""Host-side training input pipelines feeding the TPU mesh.
+
+Parity targets: /root/reference/viewformer/data/tfrecord_dataset.py:88-197
+(tf.data `load_image_dataset` / `load_token_dataset`). TPU-native redesign:
+instead of tf.data graphs + strategy input contexts, these are plain numpy
+iterator pipelines with
+  - per-host shard assignment (process_index-modulo, like the reference's
+    input_pipeline_id sharding; ref tfrecord_dataset.py:111,169),
+  - thread-pool JPEG decode (the reference leaned on 8-worker DataLoaders),
+  - local shuffle buffers (size 1000, like the reference),
+  - a background prefetch thread producing ready numpy batches, which the
+    train loop transfers with a single device_put per step.
+"""
+import os
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from .dataset import fix_legacy_gqn_cameras, get_dataset_info
+from .tfrecord import decode_example, read_records
+from ..ops.image import decode_image
+
+
+def _host_info():
+    try:
+        import jax
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
+def _shard_paths(path, split):
+    info = get_dataset_info(path)
+    name, size = info['name'], info[f'{split}_size']
+    return info, [os.path.join(path, f'{name}-{split}-{i:06d}-of-{size:06d}.tfrecord')
+                  for i in range(1, size + 1)]
+
+
+def _select_host_shards(paths, host_id, num_hosts):
+    """Rank-modulo shard assignment; duplicates shards when there are fewer
+    shards than hosts (ref tfrecord_dataset_th.py:63-73 semantics)."""
+    if num_hosts <= 1:
+        return list(paths)
+    if len(paths) < num_hosts:
+        return [paths[host_id % len(paths)]]
+    return [p for i, p in enumerate(paths) if i % num_hosts == host_id]
+
+
+def _local_shuffle(iterator, buffer_size, rng):
+    buffer = []
+    for item in iterator:
+        buffer.append(item)
+        if len(buffer) >= buffer_size:
+            idx = rng.randrange(len(buffer))
+            buffer[idx], buffer[-1] = buffer[-1], buffer[idx]
+            yield buffer.pop()
+    rng.shuffle(buffer)
+    yield from buffer
+
+
+class Prefetcher:
+    """Background-thread prefetch with a bounded queue (double buffering of
+    host batches while the device step runs)."""
+
+    _DONE = object()
+
+    def __init__(self, iterator_factory, buffer_size=2):
+        self._factory = iterator_factory
+        self._queue = queue.Queue(maxsize=buffer_size)
+        self._thread = None
+        self._stop = threading.Event()
+
+    def _run(self):
+        try:
+            for item in self._factory():
+                if self._stop.is_set():
+                    return
+                self._queue.put(item)
+        finally:
+            self._queue.put(self._DONE)
+
+    def __iter__(self):
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        while True:
+            item = self._queue.get()
+            if item is self._DONE:
+                return
+            yield item
+
+    def close(self):
+        self._stop.set()
+
+
+def load_image_dataset(path, batch_size, image_size, split='train', repeat=None,
+                       shuffle=True, seed=0, num_decode_threads=8,
+                       num_channels=None):
+    """Flat per-frame image batches for codebook training.
+
+    Yields float32 [batch, H, W, C] in [-1, 1]. `repeat=None` -> one epoch;
+    repeat=-1 -> infinite; otherwise that many epochs."""
+    info, paths = _shard_paths(path, split)
+    assert info['frame_size'] == image_size, \
+        f'Dataset has a different image size: {info["frame_size"]} != {image_size}'
+    host_id, num_hosts = _host_info()
+    paths = _select_host_shards(paths, host_id, num_hosts)
+    channels = num_channels or info.get('num_image_channels', 3)
+
+    def epoch_iterator(epoch):
+        rng = random.Random((seed * 2654435761 + epoch) & 0xFFFFFFFF)
+        epoch_paths = list(paths)
+        if shuffle:
+            rng.shuffle(epoch_paths)
+
+        def raw_frames():
+            for shard in epoch_paths:
+                for payload in read_records(shard):
+                    example = decode_example(payload)
+                    yield from example['frames']
+
+        frames = raw_frames()
+        if shuffle:
+            frames = _local_shuffle(frames, 1000, rng)
+
+        pool = ThreadPoolExecutor(num_decode_threads)
+        try:
+            def decode(data):
+                img = decode_image(data).astype(np.float32) / 255.0
+                return img * 2.0 - 1.0
+
+            batch = []
+            for img in pool.map(decode, frames, chunksize=4):
+                if img.shape[-1] != channels:
+                    continue
+                batch.append(img)
+                if len(batch) == batch_size:
+                    yield np.stack(batch, 0)
+                    batch = []
+        finally:
+            pool.shutdown(wait=False)
+
+    def iterator():
+        epoch = 0
+        while True:
+            yield from epoch_iterator(epoch)
+            epoch += 1
+            if repeat is None or (repeat > 0 and epoch >= repeat):
+                return
+
+    return Prefetcher(iterator)
+
+
+def load_token_dataset(path, batch_size, sequence_size, token_image_size,
+                       split='train', repeat=None, max_samples_per_environment=-1,
+                       transform=None, shuffle=True, seed=0):
+    """(poses [B,S,7], tokens [B,S,h,w]) batches for transformer training.
+
+    Supports comma-separated multi-dataset mixing and the val/test split
+    fallback (ref tfrecord_dataset.py:134-197). Frames are shuffled within
+    each environment and re-chunked into `sequence_size` pieces with
+    drop_remainder; `transform(cameras, tokens, split)` applies pose
+    augmentation per sample."""
+    all_paths = []
+    poses_num_dim = None
+    for dpath in path.split(','):
+        info = get_dataset_info(dpath)
+        dims = 5 if 'cameras-gqn' in info.get('features', []) else 7
+        if poses_num_dim is None:
+            poses_num_dim = dims
+        else:
+            assert dims == poses_num_dim, 'Cannot mix gqn and non-gqn datasets'
+        if split == 'train':
+            actual_split = 'train'
+        else:
+            actual_split = 'val' if 'val' in info.get('splits', []) else 'test'
+        _, paths = _shard_paths(dpath, actual_split)
+        all_paths.extend(paths)
+
+    host_id, num_hosts = _host_info()
+    all_paths = _select_host_shards(all_paths, host_id, num_hosts)
+
+    def epoch_iterator(epoch):
+        rng = random.Random((seed * 2654435761 + epoch) & 0xFFFFFFFF)
+        np_rng = np.random.RandomState((seed * 97 + epoch) & 0x7FFFFFFF)
+        epoch_paths = list(all_paths)
+        if shuffle:
+            rng.shuffle(epoch_paths)
+
+        def samples():
+            for shard in epoch_paths:
+                for payload in read_records(shard):
+                    example = decode_example(payload)
+                    poses = np.asarray(example['cameras'], np.float32).reshape(-1, poses_num_dim)
+                    if poses_num_dim == 5:
+                        poses = fix_legacy_gqn_cameras(poses)
+                    tokens = np.asarray(example['codes'], np.int64).reshape(
+                        -1, token_image_size, token_image_size)
+                    n = len(poses)
+                    if shuffle:
+                        perm = np_rng.permutation(n)
+                        poses, tokens = poses[perm], tokens[perm]
+                    count = 0
+                    for i in range(n // sequence_size):
+                        if 0 <= max_samples_per_environment <= count:
+                            break
+                        sl = slice(i * sequence_size, (i + 1) * sequence_size)
+                        sample = (poses[sl], tokens[sl])
+                        if transform is not None:
+                            sample = transform(*sample, split=split)
+                        yield sample
+                        count += 1
+
+        stream = samples()
+        if shuffle:
+            stream = _local_shuffle(stream, 1000, rng)
+
+        batch = []
+        for sample in stream:
+            batch.append(sample)
+            if len(batch) == batch_size:
+                yield (np.stack([b[0] for b in batch], 0),
+                       np.stack([b[1] for b in batch], 0))
+                batch = []
+
+    def iterator():
+        epoch = 0
+        while True:
+            yield from epoch_iterator(epoch)
+            epoch += 1
+            if repeat is None or (repeat > 0 and epoch >= repeat):
+                return
+
+    return Prefetcher(iterator)
