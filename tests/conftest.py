@@ -3,9 +3,16 @@ import sys
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
 # exercised without TPU hardware (see SURVEY.md §4 test-strategy note).
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# Force CPU: the environment presets JAX_PLATFORMS=axon (real TPU tunnel) and
+# the axon plugin re-appends itself over the env var, so the config flag must
+# be set programmatically — env JAX_PLATFORMS=cpu alone is NOT honored here.
+os.environ['JAX_PLATFORMS'] = 'cpu'
 xla_flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in xla_flags:
     os.environ['XLA_FLAGS'] = (xla_flags + ' --xla_force_host_platform_device_count=8').strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
