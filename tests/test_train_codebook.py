@@ -1,0 +1,93 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from viewformer_tpu.config import VQGANConfig
+from viewformer_tpu.data import generate_dataset_from_loader
+from viewformer_tpu.data.loaders import build
+from viewformer_tpu.parallel import mesh as mesh_lib
+from viewformer_tpu.train.codebook import (create_codebook_optimizer,
+                                           init_codebook_state,
+                                           make_codebook_eval_step,
+                                           make_codebook_train_step,
+                                           train_codebook)
+
+TINY = VQGANConfig(ch=32, ch_mult=[1, 2], num_res_blocks=1, attn_resolutions=[],
+                   z_channels=32, embed_dim=8, n_embed=16, image_size=16,
+                   perceptual_weight=0.0, batch_size=8, learning_rate=1e-3)
+
+
+def test_train_step_decreases_loss():
+    optimizer = create_codebook_optimizer(TINY)
+    model, state = init_codebook_state(TINY, jax.random.PRNGKey(0), optimizer)
+    train_step = make_codebook_train_step(model, TINY, optimizer, donate=False)
+    rng = np.random.RandomState(0)
+    batch = jnp.asarray(rng.rand(8, 16, 16, 3) * 2 - 1, jnp.float32)
+    losses = []
+    for _ in range(12):
+        state, metrics = train_step(state, batch)
+        losses.append(float(metrics['total_loss']))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 12
+    assert int(state.quantizer['counter']) == 12
+
+
+def test_train_step_sharded_on_mesh():
+    mesh = mesh_lib.create_mesh()
+    optimizer = create_codebook_optimizer(TINY)
+    model, state = init_codebook_state(TINY, jax.random.PRNGKey(0), optimizer)
+    state = mesh_lib.replicate(mesh, state)
+    train_step = make_codebook_train_step(model, TINY, optimizer, donate=False)
+    batch = np.random.RandomState(0).rand(16, 16, 16, 3).astype(np.float32)
+    with mesh:
+        sharded = mesh_lib.shard_batch(mesh, batch)
+        state2, metrics = train_step(state, sharded)
+    assert np.isfinite(float(metrics['total_loss']))
+
+    # sharded result equals single-device result
+    model_s, state_s = init_codebook_state(TINY, jax.random.PRNGKey(0), optimizer)
+    step_s = make_codebook_train_step(model_s, TINY, optimizer, donate=False)
+    state_single, metrics_single = step_s(state_s, jnp.asarray(batch))
+    np.testing.assert_allclose(float(metrics['total_loss']),
+                               float(metrics_single['total_loss']), rtol=1e-5)
+    leaves = jax.tree.leaves(state2.params)
+    leaves_single = jax.tree.leaves(state_single.params)
+    for a, b in zip(leaves, leaves_single):
+        # after one Adam step, params must agree to well under one update
+        # (lr=1e-3); near-zero-gradient leaves amplify reduction-order noise
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+@pytest.mark.slow
+def test_train_codebook_end_to_end(tmp_path):
+    loader = build('colors', split='train', num_sequences=4, sequence_size=4, image_size=16)
+    generate_dataset_from_loader(loader, 'train', str(tmp_path / 'ds' / 'colors'),
+                                 max_sequences_per_shard=2, progress=False)
+    loader = build('colors', split='test', num_sequences=2, sequence_size=4, image_size=16)
+    generate_dataset_from_loader(loader, 'test', str(tmp_path / 'ds' / 'colors'),
+                                 max_sequences_per_shard=2, progress=False)
+
+    job_dir = str(tmp_path / 'job')
+    import dataclasses
+    cfg = dataclasses.replace(TINY, total_steps=6, batch_size=4)
+    state = train_codebook(cfg, str(tmp_path / 'ds'), job_dir, epochs=2,
+                           use_bf16=False, progress=False, num_val_batches=1)
+    assert int(state.step) == 6
+
+    # config.json written and checkpoint restorable
+    import os
+    assert os.path.exists(os.path.join(job_dir, 'config.json'))
+    from viewformer_tpu.train.checkpoint import restore_checkpoint
+    abstract = jax.tree.map(np.asarray, jax.device_get(state))
+    restored, step = restore_checkpoint(job_dir, abstract, prefer='last')
+    assert step == 6
+    np.testing.assert_allclose(
+        np.asarray(restored.quantizer['counter']), np.asarray(state.quantizer['counter']))
+
+    # resume continues from step 6
+    cfg2 = dataclasses.replace(cfg, total_steps=8)
+    state2 = train_codebook(cfg2, str(tmp_path / 'ds'), job_dir, epochs=2,
+                            use_bf16=False, progress=False, num_val_batches=1)
+    assert int(state2.step) == 8

@@ -1,0 +1,84 @@
+"""Device mesh + sharding helpers — the TPU-native distribution backbone.
+
+Replaces the reference's tf.distribute strategies and torch DDP
+(/root/reference/viewformer/train/utils.py:145-153, train_codebook_th.py:41):
+one `jax.sharding.Mesh` over all chips; batches sharded on the 'data' axis,
+parameters replicated (pure DP — the reference never shards models; its
+largest model is GPT-2-small class). A 'model' axis is provisioned for tensor
+parallelism of the transformer at larger scales.
+
+Multi-host: call `initialize_distributed()` once per process (the analogue of
+MultiWorkerMirroredStrategy / torchrun), then meshes span all processes and
+per-host input feeding goes through `shard_batch`.
+"""
+from contextlib import contextmanager
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Multi-host bootstrap (ref equivalent: TF_CONFIG / torch dist env)."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes, process_id=process_id)
+
+
+def create_mesh(data_parallelism=None, model_parallelism=1, devices=None):
+    """Mesh of shape (data, model). Defaults to all devices on the data axis."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data_parallelism is None:
+        data_parallelism = n // model_parallelism
+    assert data_parallelism * model_parallelism == n, \
+        f'{data_parallelism}x{model_parallelism} != {n} devices'
+    device_array = np.asarray(devices).reshape(data_parallelism, model_parallelism)
+    return Mesh(device_array, ('data', 'model'))
+
+
+def create_mesh_for_batch(batch_size, model_parallelism=1, devices=None):
+    """Mesh whose data axis evenly divides `batch_size` (drops trailing
+    devices when the batch is smaller than the device count — tiny-config
+    tests and debug runs)."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices) // model_parallelism
+    data = n
+    while data > 1 and batch_size % data != 0:
+        data -= 1
+    return create_mesh(data, model_parallelism, devices[:data * model_parallelism])
+
+
+def data_sharding(mesh):
+    """Batch-dim sharding over the data axis."""
+    return NamedSharding(mesh, P('data'))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh, batch):
+    """Place a host-local numpy batch onto the mesh, sharded on dim 0.
+
+    Single-process: a plain device_put with a sharded layout. Multi-process:
+    assembles the global array from per-host shards
+    (jax.make_array_from_process_local_data)."""
+    sharding = data_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)), batch)
+
+
+def replicate(mesh, tree):
+    return jax.device_put(tree, replicated(mesh))
+
+
+@contextmanager
+def maybe_mesh(mesh):
+    if mesh is None:
+        yield
+    else:
+        with mesh:
+            yield

@@ -1,0 +1,83 @@
+"""Checkpoint save/restore with best-val + rolling-last semantics, via orbax.
+
+Parity target: /root/reference/viewformer/train/utils.py:46-94 (keeps the
+best-val-loss checkpoint plus a rolling last checkpoint, writes config.json
+beside the weights, multi-worker safe) and the BackupAndRestore resume flow
+(train_transformer.py:118). Orbax gives atomic async-capable saves; the step
+counter lives in the train state so LR/localization-weight schedules resume
+exactly (ref finetune_transformer.py:78-87 semantics)."""
+import os
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..config import save_config
+
+
+class CheckpointManager:
+    """Two orbax managers: `last/` (rolling, every save) and `best/`
+    (min-val-loss)."""
+
+    def __init__(self, job_dir, config=None):
+        self.job_dir = os.path.abspath(job_dir)
+        os.makedirs(self.job_dir, exist_ok=True)
+        if config is not None and jax.process_index() == 0:
+            save_config(config, self.job_dir)
+        self._last = ocp.CheckpointManager(
+            os.path.join(self.job_dir, 'last'),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1))
+        self._best = ocp.CheckpointManager(
+            os.path.join(self.job_dir, 'best'),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1,
+                best_fn=lambda metrics: metrics['val_loss'],
+                best_mode='min'))
+
+    def save(self, step, state, val_loss=None):
+        state = jax.tree.map(np.asarray, jax.device_get(state))
+        self._last.save(step, args=ocp.args.StandardSave(state))
+        if val_loss is not None:
+            self._best.save(step, args=ocp.args.StandardSave(state),
+                            metrics={'val_loss': float(val_loss)})
+
+    def wait(self):
+        self._last.wait_until_finished()
+        self._best.wait_until_finished()
+
+    def latest_step(self):
+        return self._last.latest_step()
+
+    def restore_last(self, abstract_state=None):
+        step = self._last.latest_step()
+        if step is None:
+            return None, None
+        args = ocp.args.StandardRestore(abstract_state) if abstract_state is not None \
+            else ocp.args.StandardRestore()
+        return self._last.restore(step, args=args), step
+
+    def restore_best(self, abstract_state=None):
+        step = self._best.best_step()
+        if step is None:
+            return None, None
+        args = ocp.args.StandardRestore(abstract_state) if abstract_state is not None \
+            else ocp.args.StandardRestore()
+        return self._best.restore(step, args=args), step
+
+    def close(self):
+        self.wait()
+        self._last.close()
+        self._best.close()
+
+
+def restore_checkpoint(job_dir, abstract_state=None, prefer='best'):
+    """Load a checkpoint from a job dir written by CheckpointManager."""
+    mgr = CheckpointManager(job_dir)
+    try:
+        if prefer == 'best':
+            state, step = mgr.restore_best(abstract_state)
+            if state is not None:
+                return state, step
+        return mgr.restore_last(abstract_state)
+    finally:
+        mgr.close()

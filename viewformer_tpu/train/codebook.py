@@ -1,0 +1,192 @@
+"""Stage-1 codebook (VQ-GAN) training: one pjit-ed train step on the mesh.
+
+Parity targets: /root/reference/viewformer/models/vqgan_th.py:400-445 (loss =
+mean(L1 + perceptual_weight*LPIPS) + codebook_weight*e_latent_loss;
+Adam(lr, betas=(0.5, 0.9))) and train/train_codebook_th.py (Lightning loop:
+limit_train_batches = 1 + total_steps//epochs, val each epoch, grad clip,
+grad accumulation). TPU-native redesign: instead of Lightning DDP process
+spawning, a single jitted step runs SPMD over the mesh — batch sharded on
+'data', params replicated, gradient all-reduce inserted by XLA, and the EMA
+quantizer statistics reduced implicitly (see ops/quantizer.py).
+"""
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import VQGANConfig
+from ..models.vqgan import VQGAN
+from ..parallel import mesh as mesh_lib
+
+
+class CodebookTrainState(NamedTuple):
+    params: Any
+    quantizer: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def create_codebook_optimizer(config, accumulate_grad_batches=1):
+    tx = optax.adam(config.learning_rate, b1=0.5, b2=0.9)
+    if config.gradient_clip_val and config.gradient_clip_val > 0:
+        tx = optax.chain(optax.clip_by_global_norm(config.gradient_clip_val), tx)
+    if accumulate_grad_batches > 1:
+        tx = optax.MultiSteps(tx, accumulate_grad_batches)
+    return tx
+
+
+def create_codebook_model(config, dtype=jnp.float32):
+    return VQGAN(config, dtype=dtype)
+
+
+def init_codebook_state(config, rng, optimizer, dtype=jnp.float32):
+    model = create_codebook_model(config, dtype)
+    dummy = jnp.zeros((1, config.image_size, config.image_size, config.in_channels), jnp.float32)
+    params_rng, quantizer_rng = jax.random.split(rng)
+    variables = model.init({'params': params_rng, 'quantizer': quantizer_rng},
+                           dummy, training=False)
+    params = variables['params']
+    quantizer = variables['quantizer']
+    opt_state = optimizer.init(params)
+    return model, CodebookTrainState(params, quantizer, opt_state, jnp.zeros((), jnp.int32))
+
+
+def codebook_loss_fn(model, config, lpips_params, params, quantizer, batch):
+    """Returns (loss, (aux_metrics, new_quantizer))."""
+    variables = {'params': params, 'quantizer': quantizer}
+    (dec, e_latent_loss, _quant, codes), mutated = model.apply(
+        variables, batch, training=True, mutable=['quantizer'])
+    dec = dec.astype(jnp.float32)
+    x = batch.astype(jnp.float32)
+    rec_l1 = jnp.mean(jnp.abs(x - dec))
+    metrics = {}
+    loss = rec_l1
+    if lpips_params is not None and config.perceptual_weight > 0:
+        from ..models.lpips import _lpips_forward
+        p_loss = jnp.mean(_lpips_forward(lpips_params, x[..., :3], dec[..., :3]))
+        loss = loss + config.perceptual_weight * p_loss
+        metrics['p_loss'] = p_loss
+    else:
+        metrics['p_loss'] = jnp.zeros(())
+    loss = loss + config.codebook_weight * e_latent_loss
+    metrics.update(rec_loss=rec_l1, quant_loss=e_latent_loss, total_loss=loss)
+    return loss, (metrics, mutated['quantizer'])
+
+
+def make_codebook_train_step(model, config, optimizer, lpips_params=None, donate=True):
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state, batch):
+        grad_fn = jax.value_and_grad(
+            functools.partial(codebook_loss_fn, model, config, lpips_params),
+            has_aux=True)
+        (loss, (metrics, new_quantizer)), grads = grad_fn(state.params, state.quantizer, batch)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = CodebookTrainState(new_params, new_quantizer, new_opt_state, state.step + 1)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_codebook_eval_step(model, config, lpips_params=None):
+    @jax.jit
+    def eval_step(state, batch):
+        variables = {'params': state.params, 'quantizer': state.quantizer}
+        dec, e_latent_loss, _quant, codes = model.apply(variables, batch, training=False)
+        dec = dec.astype(jnp.float32)
+        x = batch.astype(jnp.float32)
+        rec_l1 = jnp.mean(jnp.abs(x - dec))
+        metrics = {'rec_loss': rec_l1, 'quant_loss': e_latent_loss}
+        loss = rec_l1 + config.codebook_weight * e_latent_loss
+        if lpips_params is not None and config.perceptual_weight > 0:
+            from ..models.lpips import _lpips_forward
+            p_loss = jnp.mean(_lpips_forward(lpips_params, x[..., :3], dec[..., :3]))
+            loss = loss + config.perceptual_weight * p_loss
+            metrics['p_loss'] = p_loss
+        metrics['total_loss'] = loss
+        # PSNR of reconstructions in [0,1]
+        mse = jnp.mean((jnp.clip(x, -1, 1) / 2 - jnp.clip(dec, -1, 1) / 2) ** 2)
+        metrics['psnr'] = -10.0 * jnp.log10(mse)
+        return metrics, dec
+
+    return eval_step
+
+
+def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
+                   total_steps=None, epochs=100, batch_size=None,
+                   accumulate_grad_batches=1, resume=True, seed=42,
+                   use_bf16=True, wandb=False, log_every=50,
+                   num_val_batches=8, mesh=None, progress=True):
+    """Full training loop (CLI entry `train codebook`)."""
+    from ..data.pipeline import load_image_dataset
+    from ..models.lpips import load_lpips
+    from .checkpoint import CheckpointManager
+    from .logging import MetricLogger
+
+    total_steps = total_steps or config.total_steps
+    batch_size = batch_size or config.batch_size
+    if mesh is None:
+        mesh = mesh_lib.create_mesh_for_batch(batch_size)
+
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    optimizer = create_codebook_optimizer(config, accumulate_grad_batches)
+    model, state = init_codebook_state(config, jax.random.PRNGKey(seed), optimizer, dtype)
+
+    lpips = load_lpips('vgg') if config.perceptual_weight > 0 else None
+    lpips_params = lpips._params if lpips is not None else None
+
+    ckpt = CheckpointManager(job_dir, config)
+    start_step = 0
+    if resume:
+        restored, step = ckpt.restore_last(jax.tree.map(np.asarray, jax.device_get(state)))
+        if restored is not None:
+            state = jax.tree.map(jnp.asarray, restored)
+            start_step = int(step)
+
+    state = mesh_lib.replicate(mesh, state)
+    train_step = make_codebook_train_step(model, config, optimizer, lpips_params)
+    eval_step = make_codebook_eval_step(model, config, lpips_params)
+
+    logger = MetricLogger(job_dir, hparams=config.asdict(), use_wandb=wandb)
+    steps_per_epoch = max(1, 1 + total_steps // epochs)
+
+    train_iter = iter(load_image_dataset(dataset_path, batch_size, config.image_size,
+                                         split='train', repeat=-1, seed=seed))
+    step = start_step
+    with mesh:
+        while step < total_steps:
+            epoch_end = min(step + steps_per_epoch, total_steps)
+            while step < epoch_end:
+                batch = mesh_lib.shard_batch(mesh, next(train_iter))
+                state, metrics = train_step(state, batch)
+                step += 1
+                if step % log_every == 0 or step == total_steps:
+                    logger.log(step, jax.device_get(metrics))
+                    if progress:
+                        m = jax.device_get(metrics)
+                        print(f'step {step}/{total_steps} '
+                              + ' '.join(f'{k}={float(v):.4f}' for k, v in m.items()))
+            # validation at epoch end
+            val_metrics = {}
+            val_iter = iter(load_image_dataset(dataset_path, batch_size, config.image_size,
+                                               split='test', repeat=1, shuffle=False, seed=seed))
+            count = 0
+            for batch in val_iter:
+                if count >= num_val_batches:
+                    break
+                batch = mesh_lib.shard_batch(mesh, batch)
+                metrics, _dec = eval_step(state, batch)
+                metrics = jax.device_get(metrics)
+                for k, v in metrics.items():
+                    val_metrics.setdefault(k, []).append(float(v))
+                count += 1
+            val_metrics = {k: float(np.mean(v)) for k, v in val_metrics.items()}
+            if val_metrics:
+                logger.log(step, val_metrics, prefix='val')
+            ckpt.save(step, state, val_loss=val_metrics.get('total_loss'))
+    ckpt.close()
+    logger.close()
+    return state
