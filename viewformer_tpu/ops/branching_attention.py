@@ -1,0 +1,124 @@
+"""Branching ("multi-end") block attention — the ViewFormer core kernel.
+
+Semantics target: /root/reference/viewformer/models/branching_attention.py
+  - Stream 0 ("context"): block-causal attention — every token of frame t
+    attends to all tokens of frames <= t, including its own frame
+    (ref branching_attention.py:41-61).
+  - Streams b >= 1 ("branch"): tokens of frame t attend to stream-0 tokens of
+    frames *strictly before* t plus the L tokens of their OWN frame in their
+    own stream, jointly softmaxed (ref branching_attention.py:82-126: the
+    shifted mask `i >= j - ns + nd + 1` over the first ns-1 frames == frame_j
+    < frame_i over all frames, since frame ns-1 can never satisfy it).
+
+Design notes (TPU-first, not a translation):
+  - The reference materializes separate w_old/w_new score blocks and
+    concatenates; here each branch is ONE fused attention over the
+    concatenated key set [stream0 keys (T*L), own-frame keys (L)] with an
+    additive mask — a single jointly-normalized softmax, one extra matmul.
+  - All side branches are evaluated together via a leading stacked axis, so
+    the whole layer is 3 batched einsums regardless of branch count.
+  - No 1/sqrt(d_head) scaling — intentional reference quirk
+    (ref branching_attention.py:5-18 applies raw q.k^T); checkpoints are
+    trained with it, so parity requires keeping it.
+  - Masking uses additive -inf-style bias in f32 before softmax (the
+    reference's `w*m - 1e4*(1-m)` equals this at f32 in effect).
+
+Shapes: q/k/v are [B, H, T, L, dh] per stream (T frames, L tokens per frame).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e9
+
+
+def _frame_ids(T, L):
+    return jax.lax.broadcasted_iota(jnp.int32, (T * L,), 0) // L
+
+
+def block_causal_bias(T, L, dtype=jnp.float32):
+    """[T*L, T*L] additive bias: frame(i) >= frame(j) allowed."""
+    frames = _frame_ids(T, L)
+    allowed = frames[:, None] >= frames[None, :]
+    return jnp.where(allowed, 0.0, _NEG_INF).astype(dtype)
+
+
+def strict_causal_bias(T, L, dtype=jnp.float32):
+    """[T*L, T*L] additive bias: frame(i) > frame(j) allowed."""
+    frames = _frame_ids(T, L)
+    allowed = frames[:, None] > frames[None, :]
+    return jnp.where(allowed, 0.0, _NEG_INF).astype(dtype)
+
+
+def _dropout(weights, rate, rng):
+    if rng is None or rate <= 0.0:
+        return weights
+    keep = jax.random.bernoulli(rng, 1.0 - rate, weights.shape)
+    return jnp.where(keep, weights / (1.0 - rate), 0.0)
+
+
+def block_causal_attention(q, k, v, dropout_rate=0.0, dropout_rng=None):
+    """Stream-0 attention. q/k/v: [B, H, T, L, dh] -> [B, H, T, L, dh]."""
+    B, H, T, L, dh = q.shape
+    qf = q.reshape(B, H, T * L, dh)
+    kf = k.reshape(B, H, T * L, dh)
+    vf = v.reshape(B, H, T * L, dh)
+    scores = jnp.einsum('bhqd,bhkd->bhqk', qf, kf,
+                        preferred_element_type=jnp.float32)
+    scores = scores + block_causal_bias(T, L)
+    weights = jax.nn.softmax(scores, axis=-1)
+    weights = _dropout(weights, dropout_rate, dropout_rng)
+    out = jnp.einsum('bhqk,bhkd->bhqd', weights.astype(vf.dtype), vf)
+    return out.reshape(B, H, T, L, dh)
+
+
+def branch_attention(q_branches, k0, v0, k_branches, v_branches,
+                     dropout_rate=0.0, dropout_rng=None):
+    """Side-stream attention for all branches at once.
+
+    q_branches/k_branches/v_branches: [S, B, H, T, L, dh] (S side streams);
+    k0/v0: [B, H, T, L, dh] (stream-0 keys/values).
+    Each branch token of frame t attends over {stream-0 tokens of frames < t}
+    u {own-frame tokens of its own branch}, one joint softmax."""
+    S, B, H, T, L, dh = q_branches.shape
+    qf = q_branches.reshape(S, B, H, T * L, dh)
+    k0f = k0.reshape(B, H, T * L, dh)
+    v0f = v0.reshape(B, H, T * L, dh)
+
+    scores_old = jnp.einsum('sbhqd,bhkd->sbhqk', qf, k0f,
+                            preferred_element_type=jnp.float32)
+    scores_old = scores_old + strict_causal_bias(T, L)
+    # own-frame block: [S, B, H, T, L, L]
+    scores_new = jnp.einsum('sbhtld,sbhtmd->sbhtlm', q_branches, k_branches,
+                            preferred_element_type=jnp.float32)
+
+    joint = jnp.concatenate(
+        [scores_old.reshape(S, B, H, T, L, T * L), scores_new], axis=-1)
+    weights = jax.nn.softmax(joint, axis=-1)
+    weights = _dropout(weights, dropout_rate, dropout_rng)
+    w_old = weights[..., :T * L].reshape(S, B, H, T * L, T * L).astype(v0f.dtype)
+    w_new = weights[..., T * L:].astype(v_branches.dtype)
+    out = jnp.einsum('sbhqk,bhkd->sbhqd', w_old, v0f).reshape(S, B, H, T, L, dh)
+    out = out + jnp.einsum('sbhtlm,sbhtmd->sbhtld', w_new, v_branches)
+    return out
+
+
+def multi_end_block_attention(kset, vset, qset, dropout_rate=0.0, dropout_rng=None):
+    """Full branching attention over a list of streams.
+
+    kset/vset/qset: tuples of [B, H, T, L, dh], stream 0 first. Returns a
+    tuple of per-stream outputs (semantics of ref
+    compute_causal_block_multiend_attention)."""
+    rng0 = rng1 = None
+    if dropout_rng is not None:
+        rng0, rng1 = jax.random.split(dropout_rng)
+    out0 = block_causal_attention(qset[0], kset[0], vset[0], dropout_rate, rng0)
+    outputs = (out0,)
+    if len(qset) > 1:
+        qb = jnp.stack(qset[1:], 0)
+        kb = jnp.stack(kset[1:], 0)
+        vb = jnp.stack(vset[1:], 0)
+        outs = branch_attention(qb, kset[0], vset[0], kb, vb, dropout_rate, rng1)
+        outputs = outputs + tuple(outs[i] for i in range(outs.shape[0]))
+    return outputs
