@@ -84,7 +84,7 @@ def test_train_codebook_end_to_end(tmp_path):
     restored, step = restore_checkpoint(job_dir, abstract, prefer='last')
     assert step == 6
     np.testing.assert_allclose(
-        np.asarray(restored.quantizer['counter']), np.asarray(state.quantizer['counter']))
+        np.asarray(restored['quantizer']['counter']), np.asarray(state.quantizer['counter']))
 
     # resume continues from step 6
     cfg2 = dataclasses.replace(cfg, total_steps=8)

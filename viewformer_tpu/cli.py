@@ -1,0 +1,421 @@
+"""viewformer-cli: the command surface, mirroring the reference CLI.
+
+Parity target: /root/reference/viewformer/cli.py — command groups
+  dataset generate|shuffle|visualize
+  train codebook|transformer|finetune-transformer
+  generate-codes, evaluate <...>, visualize codebook, model info,
+  download-model
+
+Loader selection mirrors the reference's aparse ConditionalType: `--loader
+NAME` plus `--loader-<param> value` flags forwarded to that loader's
+constructor (e.g. `--loader colors --loader-num-sequences 100`).
+Run as `python -m viewformer_tpu ...` or via the `viewformer-cli` script.
+"""
+import json
+
+import click
+
+
+def _parse_value(value):
+    if value is None or not isinstance(value, str):
+        return value
+    lowered = value.lower()
+    if lowered in ('true', 'false'):
+        return lowered == 'true'
+    for cast in (int, float):
+        try:
+            return cast(value)
+        except ValueError:
+            continue
+    return value
+
+
+class LoaderCommand(click.Command):
+    """Accepts dynamic --loader-<param> options."""
+
+    def parse_args(self, ctx, args):
+        loader_kwargs = {}
+        remaining = []
+        i = 0
+        while i < len(args):
+            arg = args[i]
+            if arg.startswith('--loader-'):
+                key = arg[len('--loader-'):].replace('-', '_')
+                if '=' in key:
+                    key, value = key.split('=', 1)
+                else:
+                    i += 1
+                    value = args[i]
+                loader_kwargs[key] = _parse_value(value)
+            else:
+                remaining.append(arg)
+            i += 1
+        ctx.params['loader_kwargs'] = loader_kwargs
+        super().parse_args(ctx, remaining)
+        ctx.params['loader_kwargs'] = loader_kwargs
+        return ctx.args
+
+
+def _build_loader(name, loader_kwargs, split=None, image_size=None, **extra):
+    from .data.loaders import get_loader
+    kwargs = dict(loader_kwargs)
+    if split is not None and 'split' not in kwargs:
+        kwargs['split'] = split
+    kwargs.update(extra)
+    if image_size is not None:
+        kwargs['image_size'] = image_size
+    return get_loader(name)(**kwargs)
+
+
+@click.group()
+@click.option('--platform', default=None,
+              help='jax platform override (cpu|tpu|axon). Needed because the '
+                   'axon plugin ignores the JAX_PLATFORMS env var.')
+def main(platform):
+    """viewformer-tpu command line interface."""
+    if platform:
+        import jax
+        jax.config.update('jax_platforms', platform)
+
+
+# ---------------------------------------------------------------------------
+# dataset
+# ---------------------------------------------------------------------------
+
+@main.group()
+def dataset():
+    """Dataset generation and management."""
+
+
+@dataset.command('generate', cls=LoaderCommand)
+@click.option('--loader', 'loader_name', required=True)
+@click.option('--output', required=True)
+@click.option('--split', 'splits', multiple=True, default=('train', 'test'))
+@click.option('--max-images-per-shard', type=int, default=None)
+@click.option('--max-sequences-per-shard', type=int, default=None)
+@click.option('--image-size', type=int, default=None)
+@click.option('--shuffle/--no-shuffle', default=False)
+@click.option('--shards', default=None, help='SplitIndices subset, e.g. "1:5"')
+@click.option('--allow-incompatible-config', is_flag=True)
+def dataset_generate(loader_name, output, splits, max_images_per_shard,
+                     max_sequences_per_shard, image_size, shuffle, shards,
+                     allow_incompatible_config, loader_kwargs=None):
+    """Generate TFRecord shards from a raw dataset loader."""
+    from .data import generate_dataset_from_loader
+    from .utils import SplitIndices
+    for split in splits:
+        loader = _build_loader(loader_name, loader_kwargs or {}, split=split,
+                               image_size=image_size,
+                               **({'shuffle': True} if shuffle else {}))
+        generate_dataset_from_loader(
+            loader, split, output,
+            max_images_per_shard=max_images_per_shard,
+            max_sequences_per_shard=max_sequences_per_shard,
+            shards=SplitIndices(shards) if shards else None,
+            allow_incompatible_config=allow_incompatible_config)
+
+
+@dataset.command('shuffle')
+@click.option('--dataset', 'dataset_path', required=True)
+@click.option('--output', required=True)
+@click.option('--seed', type=int, default=42)
+def dataset_shuffle(dataset_path, output, seed):
+    """Byte-level shard re-shuffle using .index sidecars."""
+    from .data import shuffle_dataset
+    shuffle_dataset(dataset_path, output, seed=seed)
+
+
+@dataset.command('visualize', cls=LoaderCommand)
+@click.option('--loader', 'loader_name', required=True)
+@click.option('--image-size', type=int, default=None)
+def dataset_visualize(loader_name, image_size, loader_kwargs=None):
+    """Interactive matplotlib browser for sequences + poses."""
+    from .commands.visualize import visualize_dataset
+    loader = _build_loader(loader_name, loader_kwargs or {}, split='train',
+                           image_size=image_size)
+    visualize_dataset(loader)
+
+
+# ---------------------------------------------------------------------------
+# train
+# ---------------------------------------------------------------------------
+
+@main.group()
+def train():
+    """Model training."""
+
+
+def _config_from_options(config_cls, options):
+    import dataclasses
+    kwargs = {}
+    for field in dataclasses.fields(config_cls):
+        if field.name in options and options[field.name] is not None:
+            kwargs[field.name] = options[field.name]
+    return config_cls.from_dict(kwargs)
+
+
+@train.command('codebook')
+@click.option('--dataset', 'dataset_path', required=True)
+@click.option('--job-dir', required=True)
+@click.option('--total-steps', type=int, default=None)
+@click.option('--epochs', type=int, default=100)
+@click.option('--batch-size', type=int, default=None)
+@click.option('--learning-rate', type=float, default=None)
+@click.option('--n-embed', type=int, default=None)
+@click.option('--embed-dim', type=int, default=None)
+@click.option('--image-size', type=int, default=None)
+@click.option('--ch', type=int, default=None)
+@click.option('--num-res-blocks', type=int, default=None)
+@click.option('--gradient-clip-val', type=float, default=None)
+@click.option('--accumulate-grad-batches', type=int, default=1)
+@click.option('--perceptual-weight', type=float, default=None)
+@click.option('--fp32', is_flag=True, help='disable bf16 compute')
+@click.option('--wandb', is_flag=True)
+@click.option('--resume/--no-resume', default=True)
+def train_codebook_cmd(dataset_path, job_dir, total_steps, epochs, batch_size,
+                       accumulate_grad_batches, fp32, wandb, resume, **config_options):
+    """Train the VQ-GAN codebook (stage 1)."""
+    from .config import VQGANConfig
+    from .train.codebook import train_codebook
+    config = _config_from_options(VQGANConfig, config_options)
+    if total_steps:
+        config.total_steps = total_steps
+    if batch_size:
+        config.batch_size = batch_size
+    train_codebook(config, dataset_path, job_dir, total_steps=config.total_steps,
+                   epochs=epochs, batch_size=config.batch_size,
+                   accumulate_grad_batches=accumulate_grad_batches,
+                   resume=resume, use_bf16=not fp32, wandb=wandb)
+
+
+@train.command('transformer')
+@click.option('--dataset', 'dataset_path', required=True)
+@click.option('--codebook-model', required=True)
+@click.option('--job-dir', required=True)
+@click.option('--total-steps', type=int, default=None)
+@click.option('--epochs', type=int, default=100)
+@click.option('--batch-size', type=int, default=None)
+@click.option('--learning-rate', type=float, default=None)
+@click.option('--d-model', type=int, default=None)
+@click.option('--n-layer', type=int, default=None)
+@click.option('--n-head', type=int, default=None)
+@click.option('--sequence-size', type=int, default=None)
+@click.option('--token-image-size', type=int, default=None)
+@click.option('--n-loss-skip', type=int, default=None)
+@click.option('--augment-poses', default=None)
+@click.option('--localization-weight', default=None)
+@click.option('--pose-multiplier', type=float, default=None)
+@click.option('--random-pose-multiplier', type=float, default=None)
+@click.option('--label-smoothing', type=float, default=None)
+@click.option('--weight-decay', type=float, default=None)
+@click.option('--gradient-clip-val', type=float, default=None)
+@click.option('--dropout', type=float, default=None)
+@click.option('--max-samples-per-environment', type=int, default=-1)
+@click.option('--fp32', is_flag=True)
+@click.option('--wandb', is_flag=True)
+@click.option('--resume/--no-resume', default=True)
+def train_transformer_cmd(dataset_path, codebook_model, job_dir, total_steps, epochs,
+                          batch_size, max_samples_per_environment, fp32, wandb, resume,
+                          **config_options):
+    """Train the MIGT transformer (stage 2)."""
+    from .config import MIGTConfig, load_config
+    from .train.transformer import train_transformer
+    config = _config_from_options(MIGTConfig, config_options)
+    codebook_config = load_config(codebook_model)
+    config.n_embeddings = codebook_config.n_embed
+    if total_steps:
+        config.total_steps = total_steps
+    if batch_size:
+        config.batch_size = batch_size
+    train_transformer(config, dataset_path, job_dir, codebook_path=codebook_model,
+                      total_steps=config.total_steps, epochs=epochs,
+                      batch_size=config.batch_size, resume=resume,
+                      use_bf16=not fp32, wandb=wandb,
+                      max_samples_per_environment=max_samples_per_environment)
+
+
+@train.command('finetune-transformer')
+@click.option('--dataset', 'dataset_path', required=True)
+@click.option('--checkpoint', required=True, help='job dir of the base transformer')
+@click.option('--job-dir', required=True)
+@click.option('--total-steps', type=int, default=None)
+@click.option('--epochs', type=int, default=100)
+@click.option('--batch-size', type=int, default=None)
+@click.option('--learning-rate', type=float, default=None)
+@click.option('--pose-multiplier', type=float, default=None)
+@click.option('--localization-weight', default=None)
+@click.option('--sequence-size', type=int, default=None)
+@click.option('--n-loss-skip', type=int, default=None)
+@click.option('--fp32', is_flag=True)
+@click.option('--wandb', is_flag=True)
+def finetune_transformer_cmd(dataset_path, checkpoint, job_dir, total_steps, epochs,
+                             batch_size, fp32, wandb, **overrides):
+    """Finetune an existing transformer (optimizer schedules continue from
+    the restored step, ref finetune_transformer.py:78-87)."""
+    from .config import load_config
+    from .train.transformer import train_transformer
+    config = load_config(checkpoint)
+    for key, value in overrides.items():
+        if value is not None:
+            if key == 'localization_weight':
+                from .utils.schedules import Schedule
+                value = Schedule.from_str(value)
+            setattr(config, key, value)
+    if total_steps:
+        config.total_steps = total_steps
+    if batch_size:
+        config.batch_size = batch_size
+    train_transformer(config, dataset_path, job_dir, finetune_from=checkpoint,
+                      total_steps=config.total_steps, epochs=epochs,
+                      batch_size=config.batch_size, use_bf16=not fp32, wandb=wandb)
+
+
+# ---------------------------------------------------------------------------
+# generate-codes / evaluate / model / visualize / download
+# ---------------------------------------------------------------------------
+
+@main.command('generate-codes')
+@click.option('--dataset', required=True)
+@click.option('--output', required=True)
+@click.option('--model', required=True)
+@click.option('--batch-size', type=int, default=None)
+@click.option('--shards', default=None)
+@click.option('--split', 'splits', multiple=True, default=None)
+def generate_codes_cmd(dataset, output, model, batch_size, shards, splits):
+    """Encode an image dataset into codebook tokens."""
+    from .commands.generate_codes import generate_codes
+    from .utils import SplitIndices
+    generate_codes(dataset, output, model,
+                   shards=SplitIndices(shards) if shards else None,
+                   batch_size=batch_size, splits=list(splits) or None)
+
+
+@main.group()
+def evaluate():
+    """Evaluation commands."""
+
+
+def _loader_options(fn):
+    fn = click.option('--loader', 'loader_name', default='dataset')(fn)
+    return fn
+
+
+@evaluate.command('transformer', cls=LoaderCommand)
+@_loader_options
+@click.option('--transformer-model', required=True)
+@click.option('--codebook-model', required=True)
+@click.option('--job-dir', required=True)
+@click.option('--batch-size', type=int, default=1)
+@click.option('--num-eval-sequences', type=int, default=None)
+@click.option('--pose-multiplier', type=float, default=None)
+@click.option('--sequence-size', type=int, default=None)
+@click.option('--num-store-images', type=int, default=100)
+@click.option('--store-ctx', is_flag=True)
+@click.option('--image-size', type=int, default=None)
+def evaluate_transformer_cmd(loader_name, transformer_model, codebook_model, job_dir,
+                             batch_size, num_eval_sequences, pose_multiplier,
+                             sequence_size, num_store_images, store_ctx, image_size,
+                             loader_kwargs=None):
+    """Single-context novel view synthesis evaluation."""
+    from .evaluate.transformer import evaluate_transformer
+    loader = lambda im_size: _build_loader(loader_name, loader_kwargs or {},  # noqa: E731
+                                           split='test', image_size=im_size)
+    evaluate_transformer(loader, transformer_model, codebook_model, job_dir,
+                         batch_size=batch_size, num_eval_sequences=num_eval_sequences,
+                         pose_multiplier=pose_multiplier, sequence_size=sequence_size,
+                         num_store_images=num_store_images, store_ctx=store_ctx,
+                         image_size=image_size)
+
+
+@evaluate.command('transformer-multictx', cls=LoaderCommand)
+@_loader_options
+@click.option('--transformer-model', required=True)
+@click.option('--codebook-model', required=True)
+@click.option('--job-dir', required=True)
+@click.option('--batch-size', type=int, default=1)
+@click.option('--num-eval-sequences', type=int, default=None)
+@click.option('--pose-multiplier', type=float, default=None)
+@click.option('--sequence-size', type=int, default=None)
+@click.option('--num-store-images', type=int, default=100)
+@click.option('--store-ctx', is_flag=True)
+@click.option('--image-size', type=int, default=None)
+def evaluate_multictx_cmd(loader_name, transformer_model, codebook_model, job_dir,
+                          batch_size, num_eval_sequences, pose_multiplier,
+                          sequence_size, num_store_images, store_ctx, image_size,
+                          loader_kwargs=None):
+    """All-context-sizes-at-once evaluation."""
+    from .evaluate.multictx import evaluate_transformer_multictx
+    loader = lambda im_size: _build_loader(loader_name, loader_kwargs or {},  # noqa: E731
+                                           split='test', image_size=im_size)
+    evaluate_transformer_multictx(loader, transformer_model, codebook_model, job_dir,
+                                  batch_size=batch_size,
+                                  num_eval_sequences=num_eval_sequences,
+                                  pose_multiplier=pose_multiplier,
+                                  sequence_size=sequence_size,
+                                  num_store_images=num_store_images,
+                                  store_ctx=store_ctx, image_size=image_size)
+
+
+@evaluate.command('codebook', cls=LoaderCommand)
+@_loader_options
+@click.option('--codebook-model', required=True)
+@click.option('--job-dir', required=True)
+@click.option('--batch-size', type=int, default=64)
+@click.option('--num-eval-images', type=int, default=None)
+@click.option('--num-store-images', type=int, default=100)
+@click.option('--image-size', type=int, default=None)
+def evaluate_codebook_cmd(loader_name, codebook_model, job_dir, batch_size,
+                          num_eval_images, num_store_images, image_size,
+                          loader_kwargs=None):
+    """Codebook reconstruction evaluation."""
+    from .evaluate.codebook import evaluate_codebook
+    loader = lambda im_size: _build_loader(loader_name, loader_kwargs or {},  # noqa: E731
+                                           split='test', image_size=im_size)
+    evaluate_codebook(loader, codebook_model, job_dir, batch_size=batch_size,
+                      num_eval_images=num_eval_images,
+                      num_store_images=num_store_images, image_size=image_size)
+
+
+@main.group()
+def model():
+    """Model utilities."""
+
+
+@model.command('info')
+@click.option('--model', 'checkpoint', required=True)
+def model_info_cmd(checkpoint):
+    """Parameter-count tree for a checkpoint."""
+    from .commands.model_info import model_info
+    model_info(checkpoint)
+
+
+@main.group()
+def visualize():
+    """Visualization commands."""
+
+
+@visualize.command('codebook', cls=LoaderCommand)
+@_loader_options
+@click.option('--codebook-model', required=True)
+@click.option('--output', default=None, help='write a reconstruction grid png here '
+                                             'instead of an interactive viewer')
+@click.option('--num-images', type=int, default=16)
+def visualize_codebook_cmd(loader_name, codebook_model, output, num_images,
+                           loader_kwargs=None):
+    from .commands.visualize_codebook import visualize_codebook
+    loader = lambda im_size: _build_loader(loader_name, loader_kwargs or {},  # noqa: E731
+                                           split='test', image_size=im_size)
+    visualize_codebook(loader, codebook_model, output=output, num_images=num_images)
+
+
+@main.command('download-model')
+@click.argument('checkpoint')
+def download_model_cmd(checkpoint):
+    """Download a released checkpoint to ~/.cache/viewformer."""
+    from .utils import pull_checkpoint
+    path = pull_checkpoint(checkpoint)
+    print(f'Downloaded to {path}')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,101 @@
+"""generate-codes: batch-encode an image dataset into a code (token) dataset.
+
+Parity target: /root/reference/viewformer/commands/generate_codes.py — walks
+every shard, encodes frames with the codebook model, writes 'codes'+'cameras'
+shards and sets token_image_size in info.json. TPU-native redesign: a single
+jitted encode function with a fixed batch shape (padded tail batch instead of
+dynamic shapes), frames flattened across sequences exactly like the
+reference's unbatch/rebatch so device utilization is independent of sequence
+length.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import transform_dataset
+from ..models import load_model
+
+
+class LatentCodeTransformer:
+    """Dataset transformer: frames -> codebook codes (ref generate_codes.py:20-81)."""
+
+    def __init__(self, model, variables, batch_size=None, mesh=None):
+        self.model = model
+        self.variables = {'params': variables['params'], 'quantizer': variables['quantizer']}
+        self.image_size = model.config.image_size
+        self.batch_size = batch_size or model.config.batch_size
+        self.mesh = mesh
+
+        def encode(images):
+            _quant, _loss, codes = self.model.apply(
+                self.variables, images, training=False,
+                method=type(self.model).encode)
+            return codes
+        self._encode = jax.jit(encode)
+
+    def output_features(self, features):
+        if features is not None and 'cameras-gqn' in features:
+            return ['codes', 'cameras-gqn']
+        return ['codes', 'cameras']
+
+    def update_dataset_info(self, dataset_info):
+        dataset_info['token_image_size'] = self.image_size // self.model.config.stride
+        self.dataset_info = dataset_info
+        return dataset_info
+
+    def _encode_frames(self, frames):
+        """uint8 [N, H, W, C] -> int32 codes [N, h, w] with tail padding to
+        keep the jit specialization unique."""
+        x = frames.astype(np.float32) / 255.0 * 2.0 - 1.0
+        n = len(x)
+        if n < self.batch_size:
+            x = np.concatenate([x, np.zeros((self.batch_size - n,) + x.shape[1:], x.dtype)], 0)
+        codes = np.asarray(jax.device_get(self._encode(jnp.asarray(x))))
+        return codes[:n]
+
+    def __call__(self, split, dataset):
+        pending = []  # (cameras, num_frames)
+        frame_buffer = []
+        code_chunks = []
+
+        def flush_ready():
+            nonlocal code_chunks
+            available = sum(len(c) for c in code_chunks)
+            while pending and pending[0][1] <= available:
+                cameras, n = pending.pop(0)
+                out = []
+                need = n
+                while need > 0:
+                    chunk = code_chunks[0]
+                    take = min(need, len(chunk))
+                    out.append(chunk[:take])
+                    if take == len(chunk):
+                        code_chunks.pop(0)
+                    else:
+                        code_chunks[0] = chunk[take:]
+                    need -= take
+                available -= n
+                yield dict(cameras=cameras, codes=np.concatenate(out, 0))
+
+        for item in dataset:
+            frames = np.asarray(item['frames'])[..., :self.model.config.in_channels]
+            pending.append((np.asarray(item['cameras']), len(frames)))
+            frame_buffer.extend(frames)
+            while len(frame_buffer) >= self.batch_size:
+                batch = np.stack(frame_buffer[:self.batch_size], 0)
+                frame_buffer = frame_buffer[self.batch_size:]
+                code_chunks.append(self._encode_frames(batch))
+                yield from flush_ready()
+        if frame_buffer:
+            code_chunks.append(self._encode_frames(np.stack(frame_buffer, 0)))
+            yield from flush_ready()
+        assert not pending, 'frames/codes bookkeeping mismatch'
+
+
+def generate_codes(dataset, output, model, shards=None, batch_size=None,
+                   splits=None, progress=True):
+    """CLI entry: viewformer-cli generate-codes."""
+    codebook_model, variables = load_model(model)
+    transformer = LatentCodeTransformer(codebook_model, variables, batch_size=batch_size)
+    transform_dataset(dataset, output, transformer, splits=splits, shards=shards,
+                      progress=progress)

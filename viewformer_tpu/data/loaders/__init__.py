@@ -82,6 +82,8 @@ def get_loader(name):
         module_name, class_name = _lazy_modules[name]
         module = importlib.import_module(module_name)
         register_loader(getattr(module, class_name), name)
+    if name not in _registry:
+        raise ValueError(f'Unknown loader {name!r}; available: {get_loader_names()}')
     return _registry[name]
 
 

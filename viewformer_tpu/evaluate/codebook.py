@@ -1,0 +1,94 @@
+"""evaluate codebook: reconstruction metrics over single frames.
+
+Parity target: /root/reference/viewformer/evaluate/evaluate_codebook.py —
+encode -> decode_code reconstruction, image metrics only.
+"""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.image import resize
+from .evaluator import Evaluator
+from .transformer import build_store_predictions
+
+
+def make_reconstruct(codebook_model, codebook_vars):
+    variables = {'params': codebook_vars['params'], 'quantizer': codebook_vars['quantizer']}
+
+    @jax.jit
+    def reconstruct(images):
+        _quant, _loss, codes = codebook_model.apply(
+            variables, images, training=False, method=type(codebook_model).encode)
+        dec = codebook_model.apply(variables, codes, method=type(codebook_model).decode_code)
+        dec = jnp.clip(dec, -1, 1)
+        return ((dec / 2 + 0.5) * 255.0 + 0.5).astype(jnp.uint8)
+
+    return reconstruct
+
+
+def generate_batch_predictions(codebook_model, codebook_vars, images, _cache={}):
+    key = (id(codebook_vars), images.shape[1:])
+    if key not in _cache:
+        _cache[key] = make_reconstruct(codebook_model, codebook_vars)
+    reconstruct = _cache[key]
+    images = np.asarray(images)
+    fimages = resize(images, codebook_model.config.image_size)
+    x = fimages.astype(np.float32) / 255.0 * 2.0 - 1.0
+    generated = np.asarray(jax.device_get(reconstruct(jnp.asarray(x))))
+    return dict(ground_truth_images=fimages, generated_images=generated,
+                ground_truth_cameras=None, generated_cameras=None)
+
+
+def evaluate_codebook(loader, codebook_checkpoint, job_dir, batch_size=64,
+                      num_eval_images=None, num_store_images=100, image_size=None,
+                      progress=True):
+    """CLI entry: viewformer-cli evaluate codebook."""
+    from ..models import load_model
+
+    codebook_model, codebook_vars = load_model(codebook_checkpoint)
+    if callable(loader) and not hasattr(loader, '__getitem__'):
+        loader = loader(codebook_model.config.image_size)
+
+    evaluator = Evaluator(image_size=image_size)
+    store = build_store_predictions(job_dir, num_store_images)
+
+    def frame_batches():
+        buffer = []
+        count = 0
+        for idx in range(len(loader)):
+            for frame in np.asarray(loader[idx]['frames']):
+                if num_eval_images is not None and count >= num_eval_images:
+                    if buffer:
+                        yield np.stack(buffer)
+                    return
+                buffer.append(frame)
+                count += 1
+                if len(buffer) == batch_size:
+                    yield np.stack(buffer)
+                    buffer = []
+        if buffer:
+            yield np.stack(buffer)
+
+    iterator = frame_batches()
+    if progress:
+        from tqdm import tqdm
+        iterator = tqdm(iterator, desc='evaluating codebook')
+    for frames in iterator:
+        prediction = generate_batch_predictions(codebook_model, codebook_vars, frames)
+        evaluator.update_with_image(prediction['ground_truth_images'],
+                                    prediction['generated_images'])
+        store(ground_truth_cameras=np.zeros((len(frames), 7), np.float32),
+              generated_cameras=None,
+              ground_truth_images=prediction['ground_truth_images'],
+              generated_images=prediction['generated_images'])
+    result = {k: v for k, v in evaluator.result().items() if not k.startswith('loc-')}
+    os.makedirs(job_dir, exist_ok=True)
+    with open(os.path.join(job_dir, 'results.json'), 'w') as f:
+        json.dump(result, f, indent=4)
+    print('Results:')
+    for m, val in result.items():
+        print(f'    {m}: {val:.6f}')
+    return result

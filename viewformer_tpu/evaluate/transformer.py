@@ -1,0 +1,232 @@
+"""evaluate transformer: single-context novel-view synthesis + localization.
+
+Parity target: /root/reference/viewformer/evaluate/evaluate_transformer.py.
+The whole encode -> one-shot generate -> decode -> localize path is ONE
+jitted function per batch shape (the reference ran four separate tf calls) —
+on TPU this fuses the codebook towers and the transformer into a single
+launched program with no host round-trips.
+"""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.image import resize
+from ..utils import geometry_jax as geometry
+from .evaluator import Evaluator
+
+
+def to_relative_cameras(cameras):
+    """Canonicalize a camera sequence to its first frame
+    (ref evaluate_transformer.py:70-78). cameras [..., T, 7]."""
+    xyz, quaternion = cameras[..., :3], cameras[..., 3:]
+    transform_xyz = xyz[..., :1, :]
+    transform_quaternion = quaternion[..., :1, :]
+    rotation_inverse = geometry.quaternion_conjugate(transform_quaternion)
+    xyz = xyz - transform_xyz
+    xyz = geometry.quaternion_rotate(
+        xyz, jnp.broadcast_to(rotation_inverse, xyz.shape[:-1] + (4,)))
+    quaternion = geometry.quaternion_multiply(rotation_inverse, quaternion)
+    return (jnp.concatenate((xyz, quaternion), -1),
+            jnp.concatenate((transform_xyz, transform_quaternion), -1))
+
+
+def from_relative_cameras(cameras, transform):
+    """Inverse of to_relative_cameras (ref :81-87)."""
+    transform_xyz, transform_quaternion = transform[..., :3], transform[..., 3:]
+    xyz, quaternion = cameras[..., :3], cameras[..., 3:]
+    quaternion = geometry.quaternion_multiply(transform_quaternion, quaternion)
+    xyz = geometry.quaternion_rotate(
+        xyz, jnp.broadcast_to(transform_quaternion, xyz.shape[:-1] + (4,)))
+    xyz = xyz + transform_xyz
+    return jnp.concatenate((xyz, quaternion), -1)
+
+
+def normalize_cameras(cameras):
+    xyz, quaternion = cameras[..., :3], cameras[..., 3:]
+    quaternion = geometry.quaternion_remove_sign(geometry.quaternion_normalize(quaternion))
+    return jnp.concatenate((xyz, quaternion), -1)
+
+
+def make_generate_batch_predictions(transformer_model, transformer_vars,
+                                    codebook_model, codebook_vars):
+    """Build the jitted fused predict fn: (images f32 [-1,1] [B,S,H,W,C],
+    cameras [B,S,7]) -> dict of device arrays."""
+    codebook_variables = {'params': codebook_vars['params'],
+                          'quantizer': codebook_vars['quantizer']}
+    transformer_variables = {'params': transformer_vars['params']}
+    use_localization = not transformer_model.config.localization_weight.is_zero()
+    relative = transformer_model.config.augment_poses == 'relative'
+
+    @jax.jit
+    def predict(images, cameras):
+        B, S = images.shape[:2]
+        ground_truth_cameras = cameras[:, -1]
+        transform = None
+        if relative:
+            cameras, transform = to_relative_cameras(cameras)
+        cameras = normalize_cameras(cameras)
+
+        # ENCODE: conv tower over all frames at once
+        flat = images.reshape((B * S,) + images.shape[2:])
+        _quant, _loss, codes = codebook_model.apply(
+            codebook_variables, flat, training=False, method=type(codebook_model).encode)
+        grid = codes.shape[-2:]
+        codes = codes.reshape(B, S, *grid).astype(jnp.int32)
+
+        # GENERATE: one transformer pass over [ctx codes, mask frame]
+        masked = jnp.concatenate(
+            [codes[:, :-1], jnp.full_like(codes[:, :1], transformer_model.mask_token)], 1)
+        out = transformer_model.apply(transformer_variables, cameras, masked,
+                                      compute_losses=False)
+        generated_codes = jnp.argmax(out['logits'], -1)[:, -1]
+
+        # DECODE
+        generated_images = codebook_model.apply(
+            codebook_variables, generated_codes, method=type(codebook_model).decode_code)
+        generated_images = jnp.clip(generated_images, -1, 1)
+        generated_images = ((generated_images / 2 + 0.5) * 255.0 + 0.5).astype(jnp.uint8)
+
+        # LOCALIZE: full codes + context poses
+        if use_localization:
+            loc_out = transformer_model.apply(transformer_variables, cameras[:, :-1],
+                                              codes, compute_losses=False)
+            generated_cameras = transformer_model.apply(
+                transformer_variables, loc_out['pose_prediction'][:, -1:],
+                method=type(transformer_model).reduce_cameras)
+            if relative:
+                generated_cameras = from_relative_cameras(generated_cameras, transform)
+            generated_cameras = generated_cameras[:, -1]
+        else:
+            generated_cameras = None
+
+        return dict(generated_images=generated_images,
+                    generated_cameras=generated_cameras,
+                    ground_truth_cameras=ground_truth_cameras)
+
+    return predict
+
+
+def generate_batch_predictions(transformer_model, transformer_vars, codebook_model,
+                               codebook_vars, images, cameras, _cache={}):
+    """Host-facing wrapper: uint8 frames [B,S,H,W,C] + cameras [B,S,7] ->
+    numpy prediction dict (ref evaluate_transformer.py:97-146)."""
+    key = (id(transformer_vars), id(codebook_vars), images.shape[1:])
+    if key not in _cache:
+        _cache[key] = make_generate_batch_predictions(
+            transformer_model, transformer_vars, codebook_model, codebook_vars)
+    predict = _cache[key]
+
+    images = np.asarray(images)
+    fimages = resize(images.reshape((-1,) + images.shape[2:]),
+                     codebook_model.config.image_size)
+    fimages = fimages.reshape(images.shape[:2] + fimages.shape[1:])
+    fimages = fimages.astype(np.float32) / 255.0 * 2.0 - 1.0
+    out = jax.device_get(predict(jnp.asarray(fimages), jnp.asarray(cameras, jnp.float32)))
+    return dict(
+        ground_truth_images=images[:, -1],
+        generated_images=np.asarray(out['generated_images']),
+        ground_truth_cameras=np.asarray(out['ground_truth_cameras']),
+        generated_cameras=(np.asarray(out['generated_cameras'])
+                           if out['generated_cameras'] is not None else None))
+
+
+def build_store_predictions(job_dir, limit=100):
+    """Per-sample gen/gt png + camera dumps (ref :149-172)."""
+    from ..ops.image import encode_image
+    os.makedirs(job_dir, exist_ok=True)
+    counter = {'i': 0}
+
+    def store(ground_truth_cameras, generated_cameras, ground_truth_images,
+              generated_images, postfix='', ctx=None):
+        for bi in range(len(ground_truth_images)):
+            i = counter['i']
+            if limit != -1 and i >= limit:
+                return
+            def png(img):
+                img = np.asarray(img)
+                from PIL import Image
+                import io
+                buf = io.BytesIO()
+                Image.fromarray(img).save(buf, 'PNG')
+                return buf.getvalue()
+            with open(os.path.join(job_dir, f'{i:08d}-gen{postfix}.png'), 'wb') as f:
+                f.write(png(generated_images[bi]))
+            with open(os.path.join(job_dir, f'{i:08d}-gt{postfix}.png'), 'wb') as f:
+                f.write(png(ground_truth_images[bi]))
+            if generated_cameras is not None:
+                np.save(os.path.join(job_dir, f'{i:08d}-gen{postfix}.cam.npy'),
+                        np.asarray(generated_cameras[bi]))
+            np.save(os.path.join(job_dir, f'{i:08d}-gt{postfix}.cam.npy'),
+                    np.asarray(ground_truth_cameras[bi]))
+            if ctx is not None:
+                ctx_dir = os.path.join(job_dir, f'{i:08d}-ctx{postfix}')
+                os.makedirs(ctx_dir, exist_ok=True)
+                for j, ctx_img in enumerate(np.asarray(ctx[bi])):
+                    with open(os.path.join(ctx_dir, f'{j:02d}.png'), 'wb') as f:
+                        f.write(png(ctx_img))
+            counter['i'] += 1
+    return store
+
+
+def _batched_loader_iterator(loader, sequence_size, batch_size, num_sequences=None):
+    total = num_sequences if num_sequences is not None else len(loader)
+    batch_frames, batch_cameras = [], []
+    for idx in range(total):
+        item = loader[idx]
+        frames = np.asarray(item['frames'])[:sequence_size]
+        cameras = np.asarray(item['cameras'])[:sequence_size]
+        if len(frames) < sequence_size:
+            continue
+        batch_frames.append(frames)
+        batch_cameras.append(cameras)
+        if len(batch_frames) == batch_size:
+            yield np.stack(batch_frames), np.stack(batch_cameras).astype(np.float32)
+            batch_frames, batch_cameras = [], []
+    if batch_frames:
+        yield np.stack(batch_frames), np.stack(batch_cameras).astype(np.float32)
+
+
+def evaluate_transformer(loader, transformer_checkpoint, codebook_checkpoint, job_dir,
+                         batch_size=1, num_eval_sequences=None, pose_multiplier=None,
+                         sequence_size=None, num_store_images=100, store_ctx=False,
+                         image_size=None, progress=True):
+    """CLI entry: viewformer-cli evaluate transformer (ref :193-235)."""
+    from ..models import load_model
+
+    overrides = {}
+    if pose_multiplier is not None:
+        overrides['pose_multiplier'] = pose_multiplier
+    transformer_model, transformer_vars = load_model(transformer_checkpoint, **overrides)
+    codebook_model, codebook_vars = load_model(codebook_checkpoint)
+    if sequence_size is None:
+        sequence_size = transformer_model.config.sequence_size
+    if callable(loader) and not hasattr(loader, '__getitem__'):
+        loader = loader(codebook_model.config.image_size)
+
+    store_predictions = build_store_predictions(job_dir, num_store_images)
+    evaluator = Evaluator(image_size=image_size)
+    iterator = _batched_loader_iterator(loader, sequence_size, batch_size, num_eval_sequences)
+    if progress:
+        from tqdm import tqdm
+        iterator = tqdm(iterator, desc='evaluating')
+    for frames, cameras in iterator:
+        prediction = generate_batch_predictions(transformer_model, transformer_vars,
+                                                codebook_model, codebook_vars,
+                                                frames, cameras)
+        evaluator.update_state(**prediction)
+        if store_ctx:
+            prediction['ctx'] = frames[:, :-1]
+        store_predictions(**prediction)
+        if progress:
+            iterator.set_postfix(evaluator.get_progress_bar_info())
+    result = evaluator.result()
+    os.makedirs(job_dir, exist_ok=True)
+    with open(os.path.join(job_dir, 'results.json'), 'w') as f:
+        json.dump(result, f, indent=4)
+    print('Results:')
+    for m, val in result.items():
+        print(f'    {m}: {val:.6f}')
+    return result

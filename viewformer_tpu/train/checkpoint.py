@@ -35,6 +35,8 @@ class CheckpointManager:
                 best_mode='min'))
 
     def save(self, step, state, val_loss=None):
+        if hasattr(state, '_asdict'):  # NamedTuple train states stored as dicts
+            state = state._asdict()
         state = jax.tree.map(np.asarray, jax.device_get(state))
         self._last.save(step, args=ocp.args.StandardSave(state))
         if val_loss is not None:
@@ -48,21 +50,27 @@ class CheckpointManager:
     def latest_step(self):
         return self._last.latest_step()
 
+    @staticmethod
+    def _restore_args(abstract_state):
+        if abstract_state is None:
+            return ocp.args.StandardRestore()
+        if hasattr(abstract_state, '_asdict'):
+            abstract_state = abstract_state._asdict()
+        return ocp.args.StandardRestore(abstract_state)
+
     def restore_last(self, abstract_state=None):
+        """Returns (state_dict, step); state_dict keys match the NamedTuple
+        fields passed to save."""
         step = self._last.latest_step()
         if step is None:
             return None, None
-        args = ocp.args.StandardRestore(abstract_state) if abstract_state is not None \
-            else ocp.args.StandardRestore()
-        return self._last.restore(step, args=args), step
+        return self._last.restore(step, args=self._restore_args(abstract_state)), step
 
     def restore_best(self, abstract_state=None):
         step = self._best.best_step()
         if step is None:
             return None, None
-        args = ocp.args.StandardRestore(abstract_state) if abstract_state is not None \
-            else ocp.args.StandardRestore()
-        return self._best.restore(step, args=args), step
+        return self._best.restore(step, args=self._restore_args(abstract_state)), step
 
     def close(self):
         self.wait()

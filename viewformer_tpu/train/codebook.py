@@ -143,7 +143,7 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
     if resume:
         restored, step = ckpt.restore_last(jax.tree.map(np.asarray, jax.device_get(state)))
         if restored is not None:
-            state = jax.tree.map(jnp.asarray, restored)
+            state = CodebookTrainState(**jax.tree.map(jnp.asarray, restored))
             start_step = int(step)
 
     state = mesh_lib.replicate(mesh, state)

@@ -1,0 +1,281 @@
+"""Stage-2 transformer training + finetuning: pjit step over the mesh.
+
+Parity targets: /root/reference/viewformer/train/train_transformer.py (pose
+augmentation transforms, strategy setup, fit loop + callbacks),
+finetune_transformer.py (checkpoint-resumed optimizer + LR offset) and
+models/utils.py:310-565 (WarmUp(2000)+CosineDecay AdamWeightDecay with
+LayerNorm/bias exclusion).
+
+TPU-native redesign:
+  - one jitted, donated train step: loss -> grad -> clip -> adamw update;
+    gradient all-reduce is implicit in XLA with the batch sharded on 'data';
+  - the step counter lives in the train state and drives BOTH the LR schedule
+    and the localization-weight schedule, so resume/finetune is exact by
+    construction (the reference needed UseOptimizerIterationAsTrainStep and a
+    WarmUp.offset variable for this);
+  - bf16 compute / f32 params instead of fp16 + LossScaleOptimizer (no loss
+    scaling needed on TPU).
+"""
+import functools
+import math
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import MIGTConfig
+from ..models.migt import MIGT
+from ..parallel import mesh as mesh_lib
+from ..utils import geometry as np_geometry
+
+
+class TransformerTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Pose augmentation (host-side, numpy) — ref train_transformer.py:31-64
+# ---------------------------------------------------------------------------
+
+def process_batch(cameras, tokens, augment, split, rng=None):
+    """Per-sample pose augmentation. cameras [S, 7], tokens [S, h, w]."""
+    g = np_geometry
+    xyz, quaternion = cameras[..., :3], cameras[..., 3:]
+    if augment == 'relative':
+        rotation_inverse = g.quaternion_conjugate(quaternion[..., :1, :])
+        xyz = xyz - xyz[..., :1, :]
+        xyz = g.quaternion_rotate(xyz, np.broadcast_to(rotation_inverse, xyz.shape[:-1] + (4,)))
+        quaternion = g.quaternion_multiply(rotation_inverse, quaternion)
+    elif augment == 'no' or split != 'train':
+        pass
+    elif augment == 'simple':
+        rng = rng or np.random
+        xyz = xyz + rng.normal(size=(1, 3)).astype(xyz.dtype)
+        rotation = g.quaternion_multiply(
+            g.make_quaternion_y(rng.uniform(0, 2 * math.pi, (1,)).astype(xyz.dtype)),
+            g.quaternion_multiply(
+                g.make_quaternion_x(rng.uniform(0, math.pi / 8, (1,)).astype(xyz.dtype)),
+                g.make_quaternion_y(rng.uniform(0, 2 * math.pi, (1,)).astype(xyz.dtype))))
+        xyz = g.quaternion_rotate(xyz, np.broadcast_to(rotation, xyz.shape[:-1] + (4,)))
+        quaternion = g.quaternion_multiply(quaternion, rotation)
+    elif augment == 'advanced':
+        rng = rng or np.random
+        xyz = xyz + rng.normal(size=(1, 3)).astype(xyz.dtype)
+        rotation = g.make_quaternion_y(rng.uniform(0, 2 * math.pi, (1,)).astype(xyz.dtype))
+        xyz = g.quaternion_rotate(xyz, np.broadcast_to(rotation, xyz.shape[:-1] + (4,)))
+        quaternion = g.quaternion_multiply(quaternion, rotation)
+    else:
+        raise ValueError(f'Augment {augment} is not supported')
+    quaternion = g.quaternion_remove_sign(g.quaternion_normalize(quaternion))
+    return np.concatenate([xyz, quaternion], -1).astype(np.float32), tokens
+
+
+# ---------------------------------------------------------------------------
+# Optimizer — warmup(2000) -> cosine decay; decoupled weight decay excluding
+# LayerNorm scales/biases and all biases (ref models/utils.py:417-426)
+# ---------------------------------------------------------------------------
+
+def warmup_cosine_schedule(init_lr, total_steps, warmup_steps=2000):
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warmup = init_lr * step / warmup_steps
+        decay_steps = max(total_steps - warmup_steps, 1)
+        frac = jnp.minimum((step - warmup_steps) / decay_steps, 1.0)
+        cosine = init_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+        return jnp.where(step < warmup_steps, warmup, cosine)
+    return schedule
+
+
+def _weight_decay_mask(params):
+    """True = decay. Excludes LayerNorm params and biases."""
+    def decide(path, _leaf):
+        names = [p.key for p in path if hasattr(p, 'key')]
+        joined = '/'.join(names)
+        if 'ln_' in joined or 'LayerNorm' in joined or 'layer_norm' in joined:
+            return False
+        if names and names[-1] in ('bias', 'scale'):
+            return False
+        return True
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def clip_per_tensor_norm(max_norm):
+    """Per-tensor L2 clipping — the reference applies tf.clip_by_norm to each
+    gradient independently (ref migt.py:486-487), not a global norm."""
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip(g):
+            norm = jnp.sqrt(jnp.sum(jnp.square(g)))
+            return g * jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+        return jax.tree.map(clip, updates), state
+    return optax.GradientTransformation(lambda _: optax.EmptyState(), update_fn)
+
+
+def create_transformer_optimizer(config, total_steps=None, warmup_steps=2000):
+    total_steps = total_steps or config.total_steps
+    lr = warmup_cosine_schedule(config.learning_rate, total_steps, warmup_steps)
+    tx = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
+                     weight_decay=config.weight_decay, mask=_weight_decay_mask)
+    if config.gradient_clip_val and config.gradient_clip_val > 0:
+        tx = optax.chain(clip_per_tensor_norm(config.gradient_clip_val), tx)
+    return tx, lr
+
+
+def init_transformer_state(config, rng, optimizer, dtype=jnp.float32):
+    model = MIGT(config, dtype=dtype)
+    poses = jnp.zeros((1, config.sequence_size, 7), jnp.float32)
+    tokens = jnp.zeros((1, config.sequence_size, config.token_image_size,
+                        config.token_image_size), jnp.int32)
+    variables = model.init(rng, poses, tokens, compute_losses=True)
+    params = variables['params']
+    opt_state = optimizer.init(params)
+    return model, TransformerTrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+
+def _accuracy(labels, logits, n_loss_skip):
+    pred = jnp.argmax(logits, -1)
+    pred = pred[:, n_loss_skip:]
+    labels = labels[:, n_loss_skip:]
+    return jnp.mean((pred == labels).astype(jnp.float32))
+
+
+def make_transformer_train_step(model, config, optimizer, donate=True):
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state, batch, rng):
+        poses, tokens = batch
+        dropout_rng, pose_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            out = model.apply({'params': params}, poses, tokens,
+                              compute_losses=True, deterministic=False,
+                              step=state.step,
+                              rngs={'dropout': dropout_rng, 'pose_noise': pose_rng})
+            return jnp.mean(out['loss']), out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {'loss': loss, 'ce_loss': jnp.mean(out['ce_loss']),
+                   'acc': _accuracy(tokens.reshape(tokens.shape[0], tokens.shape[1], -1),
+                                    out['logits'].reshape(tokens.shape[0], tokens.shape[1], -1,
+                                                          config.n_embeddings),
+                                    config.n_loss_skip)}
+        for key in ('pose_loss', 'pose_pos_loss', 'pose_ori_loss', 'localization_weight'):
+            if key in out:
+                metrics[key] = jnp.mean(out[key])
+        new_state = TransformerTrainState(new_params, new_opt_state, state.step + 1)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_transformer_eval_step(model, config):
+    @jax.jit
+    def eval_step(state, batch):
+        poses, tokens = batch
+        out = model.apply({'params': state.params}, poses, tokens,
+                          compute_losses=True, deterministic=True, step=state.step)
+        metrics = {'loss': jnp.mean(out['loss']), 'ce_loss': jnp.mean(out['ce_loss']),
+                   'acc': _accuracy(tokens.reshape(tokens.shape[0], tokens.shape[1], -1),
+                                    out['logits'].reshape(tokens.shape[0], tokens.shape[1], -1,
+                                                          config.n_embeddings),
+                                    config.n_loss_skip)}
+        for key in ('pose_loss', 'pose_pos_loss', 'pose_ori_loss'):
+            if key in out:
+                metrics[key] = jnp.mean(out[key])
+        return metrics, out['logits']
+
+    return eval_step
+
+
+def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
+                      codebook_path=None, total_steps=None, epochs=100,
+                      batch_size=None, resume=True, finetune_from=None,
+                      seed=42, use_bf16=True, wandb=False, log_every=50,
+                      max_samples_per_environment=-1, mesh=None, progress=True):
+    """Full training loop (CLI `train transformer` / `train finetune-transformer`).
+
+    finetune_from: a job dir whose best/last checkpoint seeds the params while
+    the optimizer restarts fresh — the step counter carries over so schedules
+    continue, matching ref finetune_transformer.py:78-87."""
+    from ..data.pipeline import load_token_dataset
+    from .checkpoint import CheckpointManager, restore_checkpoint
+    from .logging import MetricLogger
+
+    total_steps = total_steps or config.total_steps
+    batch_size = batch_size or config.batch_size
+    if mesh is None:
+        mesh = mesh_lib.create_mesh_for_batch(batch_size)
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+
+    optimizer, lr_schedule = create_transformer_optimizer(config, total_steps)
+    model, state = init_transformer_state(config, jax.random.PRNGKey(seed), optimizer, dtype)
+
+    ckpt = CheckpointManager(job_dir, config)
+    start_step = 0
+    if finetune_from is not None:
+        abstract = jax.tree.map(np.asarray, jax.device_get(state))
+        restored, step = restore_checkpoint(finetune_from, abstract, prefer='last')
+        if restored is None:
+            raise FileNotFoundError(f'No checkpoint found at {finetune_from}')
+        state = TransformerTrainState(**jax.tree.map(jnp.asarray, restored))
+        start_step = int(step)
+    elif resume:
+        restored, step = ckpt.restore_last(jax.tree.map(np.asarray, jax.device_get(state)))
+        if restored is not None:
+            state = TransformerTrainState(**jax.tree.map(jnp.asarray, restored))
+            start_step = int(step)
+
+    state = mesh_lib.replicate(mesh, state)
+    train_step = make_transformer_train_step(model, config, optimizer)
+    eval_step = make_transformer_eval_step(model, config)
+    logger = MetricLogger(job_dir, hparams=config.asdict(), use_wandb=wandb)
+
+    transform = functools.partial(process_batch, augment=config.augment_poses)
+    train_iter = iter(load_token_dataset(
+        dataset_path, batch_size, config.sequence_size, config.token_image_size,
+        split='train', repeat=-1, seed=seed, transform=transform,
+        max_samples_per_environment=max_samples_per_environment))
+
+    rng = jax.random.PRNGKey(seed + 1)
+    steps_per_epoch = max(1, total_steps // epochs)
+    validation_steps = max(1, min(steps_per_epoch // 10, 100))
+    step = start_step
+    with mesh:
+        while step < total_steps:
+            epoch_end = min(step + steps_per_epoch, total_steps)
+            while step < epoch_end:
+                batch = mesh_lib.shard_batch(mesh, next(train_iter))
+                state, metrics = train_step(state, batch, rng)
+                step += 1
+                if step % log_every == 0 or step == total_steps:
+                    m = jax.device_get(metrics)
+                    logger.log(step, m)
+                    if progress:
+                        print(f'step {step}/{total_steps} '
+                              + ' '.join(f'{k}={float(v):.4f}' for k, v in m.items()))
+            # validation
+            val_iter = iter(load_token_dataset(
+                dataset_path, batch_size, config.sequence_size, config.token_image_size,
+                split='test', repeat=1, seed=seed, shuffle=False,
+                transform=functools.partial(process_batch, augment=config.augment_poses)))
+            val_metrics = {}
+            for i, batch in enumerate(val_iter):
+                if i >= validation_steps:
+                    break
+                batch = mesh_lib.shard_batch(mesh, batch)
+                metrics, _ = eval_step(state, batch)
+                for k, v in jax.device_get(metrics).items():
+                    val_metrics.setdefault(k, []).append(float(v))
+            val_metrics = {k: float(np.mean(v)) for k, v in val_metrics.items()}
+            if val_metrics:
+                logger.log(step, val_metrics, prefix='val')
+            ckpt.save(step, state, val_loss=val_metrics.get('loss'))
+    ckpt.close()
+    logger.close()
+    return state

@@ -138,6 +138,63 @@ def read_tf_checkpoint(prefix):
             for name in reader.get_variable_to_shape_map()}
 
 
+def resolve_keras_object_paths(variables):
+    """Normalize TF object-graph checkpoint keys to attribute paths.
+
+    Keras `save_weights` stores keys like
+    `model/h/0/attn/c_attn/weight/.ATTRIBUTES/VARIABLE_VALUE` (or
+    `layer_with_weights-N/...`). This resolves them to the reference attribute
+    naming used by import_migt_from_tf ('h.0/attn/c_attn/weight') via the
+    serialized object graph when needed."""
+    keys = list(variables)
+    if not any('.ATTRIBUTES' in k or k == '_CHECKPOINTABLE_OBJECT_GRAPH' for k in keys):
+        return variables  # already flat names
+
+    graph_key = '_CHECKPOINTABLE_OBJECT_GRAPH'
+    resolved = {}
+    paths_by_key = None
+    if graph_key in variables:
+        try:
+            from tensorflow.core.protobuf.trackable_object_graph_pb2 import (
+                TrackableObjectGraph)
+            graph = TrackableObjectGraph()
+            graph.ParseFromString(bytes(variables[graph_key]))
+            paths_by_key = {}
+
+            def walk(node_id, path, seen):
+                if node_id in seen:
+                    return
+                seen = seen | {node_id}
+                node = graph.nodes[node_id]
+                for attr in node.attributes:
+                    paths_by_key[attr.checkpoint_key] = path
+                for child in node.children:
+                    name = child.local_name
+                    walk(child.node_id, path + [name], seen)
+
+            walk(0, [], frozenset())
+        except Exception:
+            paths_by_key = None
+
+    for key, value in variables.items():
+        if key == graph_key:
+            continue
+        if paths_by_key is not None and key in paths_by_key:
+            parts = [p for p in paths_by_key[key]
+                     if p not in ('model',)]
+        else:
+            parts = [p for p in key.split('/')
+                     if p not in ('.ATTRIBUTES', 'VARIABLE_VALUE', 'model')]
+        # drop optimizer slots
+        if parts and parts[0] in ('optimizer', 'save_counter', 'keras_api'):
+            continue
+        # 'h/0/...' -> 'h.0/...'
+        if len(parts) >= 2 and parts[0] == 'h' and parts[1].isdigit():
+            parts = [f'h.{parts[1]}'] + parts[2:]
+        resolved['/'.join(parts)] = value
+    return resolved
+
+
 def import_migt_from_tf(variables, config):
     """Reference Keras MIGT checkpoint variables -> flax params pytree for
     models.migt.MIGT. `variables` maps checkpoint variable names (the
@@ -155,8 +212,15 @@ def import_migt_from_tf(variables, config):
     consumed = set()
 
     def take(name):
-        consumed.add(name)
-        return np.asarray(variables[name])
+        candidates = [name]
+        if name.endswith('/embeddings'):
+            candidates.append(name[:-len('/embeddings')])
+        for cand in candidates:
+            if cand in variables:
+                consumed.add(cand)
+                return np.asarray(variables[cand])
+        raise KeyError(f'TF checkpoint missing variable {name!r}; '
+                       f'available: {sorted(variables)[:8]}...')
 
     def map_dense(dst, src_prefix):
         _set(params, dst + ('kernel',), take(f'{src_prefix}/weight'))
