@@ -239,6 +239,14 @@ def decode_example(payload):
 # TFRecord container
 # ---------------------------------------------------------------------------
 
+def _open_binary(path):
+    """Local paths via open(); remote schemes (gs://, s3://) via fsspec."""
+    if '://' in str(path):
+        import fsspec
+        return fsspec.open(path, 'rb').open()
+    return open(path, 'rb')
+
+
 class RecordWriter:
     def __init__(self, path):
         self._file = open(path, 'wb')
@@ -265,7 +273,7 @@ class RecordWriter:
 
 def read_records(path, verify_crc=False):
     """Yield raw record payloads from a .tfrecord file."""
-    with open(path, 'rb') as f:
+    with _open_binary(path) as f:
         while True:
             header = f.read(8)
             if len(header) == 0:
