@@ -376,6 +376,150 @@ def evaluate_codebook_cmd(loader_name, codebook_model, job_dir, batch_size,
                       num_store_images=num_store_images, image_size=image_size)
 
 
+@evaluate.command('transformer-multictx-allimg', cls=LoaderCommand)
+@_loader_options
+@click.option('--transformer-model', required=True)
+@click.option('--codebook-model', required=True)
+@click.option('--job-dir', required=True)
+@click.option('--context-views', default=None, help='comma-separated frame indices')
+@click.option('--pose-multiplier', type=float, default=None)
+@click.option('--keep-last-frame', is_flag=True)
+@click.option('--image-size', type=int, default=None)
+@click.option('--num-eval-sequences', type=int, default=None)
+def evaluate_multictx_allimg_cmd(loader_name, transformer_model, codebook_model, job_dir,
+                                 context_views, pose_multiplier, keep_last_frame,
+                                 image_size, num_eval_sequences, loader_kwargs=None):
+    """Evaluate every frame of every sequence as query with fixed context."""
+    from .evaluate.multictx_allimg import evaluate_transformer_multictx_allimg
+    loader = lambda im_size: _build_loader(loader_name, loader_kwargs or {},  # noqa: E731
+                                           split='test', image_size=im_size)
+    ctx = [int(x) for x in context_views.split(',')] if context_views else None
+    evaluate_transformer_multictx_allimg(loader, transformer_model, codebook_model,
+                                         job_dir, context_views=ctx,
+                                         pose_multiplier=pose_multiplier,
+                                         keep_last_frame=keep_last_frame,
+                                         image_size=image_size,
+                                         num_eval_sequences=num_eval_sequences)
+
+
+@evaluate.command('7scenes')
+@click.option('--path', required=True)
+@click.option('--transformer-model', required=True)
+@click.option('--codebook-model', required=True)
+@click.option('--job-dir', required=True)
+@click.option('--batch-size', type=int, default=1)
+@click.option('--image-match-map', default=None)
+@click.option('--scenes', default=None, help='comma-separated scene names')
+@click.option('--sequence-size', type=int, default=None)
+@click.option('--num-eval-sequences', type=int, default=None)
+@click.option('--num-store-images', type=int, default=100)
+@click.option('--top-n-matched-images', type=int, default=0)
+@click.option('--num-gen-ctx', type=int, default=0)
+@click.option('--generation-procedure', default='standard',
+              type=click.Choice(['standard', 'generated_images', 'pose_refinement']))
+@click.option('--pose-multiplier', type=float, default=None)
+def evaluate_sevenscenes_cmd(path, transformer_model, codebook_model, job_dir,
+                             batch_size, image_match_map, scenes, sequence_size,
+                             num_eval_sequences, num_store_images, top_n_matched_images,
+                             num_gen_ctx, generation_procedure, pose_multiplier):
+    """7-Scenes localization + view synthesis evaluation."""
+    from .evaluate.sevenscenes import evaluate_sevenscenes
+    evaluate_sevenscenes(path, transformer_model, codebook_model, job_dir,
+                         batch_size=batch_size, image_match_map=image_match_map,
+                         scenes=scenes.split(',') if scenes else None,
+                         sequence_size=sequence_size,
+                         num_eval_sequences=num_eval_sequences,
+                         num_store_images=num_store_images,
+                         top_n_matched_images=top_n_matched_images,
+                         num_gen_ctx=num_gen_ctx,
+                         generation_procedure=generation_procedure,
+                         pose_multiplier=pose_multiplier)
+
+
+@evaluate.command('7scenes-baseline')
+@click.option('--path', required=True)
+@click.option('--job-dir', required=True)
+@click.option('--image-match-map', default=None)
+@click.option('--scenes', default=None)
+@click.option('--num-eval-sequences', type=int, default=1000)
+@click.option('--top-n-matched-images', type=int, default=0)
+@click.option('--baseline', default='position_oracle',
+              type=click.Choice(['orientation_oracle', 'position_oracle', 'mean']))
+def evaluate_sevenscenes_baseline_cmd(path, job_dir, image_match_map, scenes,
+                                      num_eval_sequences, top_n_matched_images, baseline):
+    """Non-learned 7-Scenes localization baselines."""
+    from .evaluate.sevenscenes_baseline import evaluate_sevenscenes_baseline
+    evaluate_sevenscenes_baseline(path, job_dir, image_match_map=image_match_map,
+                                  scenes=scenes.split(',') if scenes else None,
+                                  num_eval_sequences=num_eval_sequences,
+                                  top_n_matched_images=top_n_matched_images,
+                                  baseline=baseline)
+
+
+@evaluate.command('7scenes-multictx')
+@click.option('--path', required=True)
+@click.option('--transformer-model', required=True)
+@click.option('--codebook-model', required=True)
+@click.option('--job-dir', required=True)
+@click.option('--batch-size', type=int, default=1)
+@click.option('--scenes', default=None)
+@click.option('--num-eval-sequences', type=int, default=100)
+@click.option('--store-ctx/--no-store-ctx', default=True)
+@click.option('--num-store-images', type=int, default=100)
+def evaluate_sevenscenes_multictx_cmd(path, transformer_model, codebook_model, job_dir,
+                                      batch_size, scenes, num_eval_sequences,
+                                      store_ctx, num_store_images):
+    """7-Scenes x multi-context-size grid evaluation."""
+    from .evaluate.sevenscenes_multictx import evaluate_sevenscenes_multictx
+    evaluate_sevenscenes_multictx(path, transformer_model, codebook_model, job_dir,
+                                  batch_size=batch_size,
+                                  scenes=scenes.split(',') if scenes else None,
+                                  num_eval_sequences=num_eval_sequences,
+                                  store_ctx=store_ctx,
+                                  num_store_images=num_store_images)
+
+
+@evaluate.command('co3d')
+@click.option('--path', required=True)
+@click.option('--transformer-model', required=True)
+@click.option('--codebook-model', required=True)
+@click.option('--job-dir', required=True)
+@click.option('--categories', default=None)
+@click.option('--single-sequence-evaluation', is_flag=True)
+def evaluate_co3d_cmd(path, transformer_model, codebook_model, job_dir, categories,
+                      single_sequence_evaluation):
+    """CO3D evaluation wrapping the official eval harness."""
+    from .evaluate.co3d import evaluate_co3d
+    evaluate_co3d(path, transformer_model, codebook_model, job_dir,
+                  categories=categories.split(',') if categories else None,
+                  single_sequence_evaluation=single_sequence_evaluation)
+
+
+@evaluate.command('co3dv2-challenge')
+@click.option('--path', required=True)
+@click.option('--transformer-model', required=True)
+@click.option('--codebook-model', required=True)
+@click.option('--job-dir', required=True)
+@click.option('--categories', default=None)
+def evaluate_co3dv2_challenge_cmd(path, transformer_model, codebook_model, job_dir,
+                                  categories):
+    """CO3Dv2 few-view challenge submission builder."""
+    from .evaluate.co3dv2_challenge import evaluate_co3dv2_challenge
+    evaluate_co3dv2_challenge(path, transformer_model, codebook_model, job_dir,
+                              categories=categories.split(',') if categories else None)
+
+
+@evaluate.command('generate-gqn-images')
+@click.option('--dataset-path', required=True)
+@click.option('--job-dir', required=True)
+@click.option('--transformer-model', required=True)
+@click.option('--codebook-model', required=True)
+def generate_gqn_images_cmd(dataset_path, job_dir, transformer_model, codebook_model):
+    """Demo: 3-view context -> query render dumps."""
+    from .evaluate.generate_images import generate_gqn_images
+    generate_gqn_images(dataset_path, job_dir, transformer_model, codebook_model)
+
+
 @main.group()
 def model():
     """Model utilities."""

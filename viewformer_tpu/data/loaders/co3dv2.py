@@ -35,13 +35,15 @@ CO3D_CATEGORIES = list(reversed([
 class _Frame:
     """Minimal frame-annotation view over the raw jgz dict."""
 
-    __slots__ = ('sequence_name', 'frame_number', 'image_path', 'mask_path', 'R', 'T')
+    __slots__ = ('sequence_name', 'frame_number', 'image_path', 'mask_path',
+                 'depth_path', 'R', 'T')
 
     def __init__(self, data):
         self.sequence_name = data['sequence_name']
         self.frame_number = data['frame_number']
         self.image_path = data['image']['path']
         self.mask_path = data['mask']['path']
+        self.depth_path = (data.get('depth') or {}).get('path')
         viewpoint = data.get('viewpoint') or {}
         self.R = np.asarray(viewpoint.get('R', np.eye(3)), np.float64)
         self.T = np.asarray(viewpoint.get('T', np.zeros(3)), np.float64)
