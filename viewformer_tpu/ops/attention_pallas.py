@@ -1,0 +1,206 @@
+"""Fused Pallas TPU kernels for branching block attention.
+
+Performance pass over ops/branching_attention.py: the XLA path materializes
+[B, H, T*L, T*L(+L)] score tensors in HBM (f32, ~6.5MB per head-batch at the
+reference's 1280-token sequences, x12 layers x3 streams). These kernels keep
+scores entirely in VMEM: at T*L <= ~2048 and dh=64 the whole K/V of one
+(batch, head) fits on-chip (~0.3MB each), so a single-pass fused kernel —
+score tile -> mask (computed from iota, no mask tensor in HBM) -> softmax ->
+PV matmul — is both simpler and faster than a streaming flash kernel.
+
+Masks match ops/branching_attention.py exactly:
+  stream 0: frame(q) >= frame(k)               (block causal)
+  branches: frame(k0) < frame(q)  for stream-0 keys
+            frame(kb) == frame(q) for own-stream keys (joint softmax)
+No 1/sqrt(dh) scaling (reference quirk, see branching_attention.py).
+
+Gradients: jax.custom_vjp with the dense XLA implementation as the backward
+(recompute) — training memory equals the previous dense path while forward
+(inference, eval, and the fwd half of training) takes the fused kernel.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e9
+
+
+def _pick_q_block(total, L):
+    """Largest q tile <= 512 that is a multiple of L and divides total."""
+    max_frames = min(512, total) // L
+    for n_frames in range(max_frames, 0, -1):
+        block = n_frames * L
+        if total % block == 0:
+            return block
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Kernels (refs carry a leading singleton block dim from the (1, qb, dh) specs)
+# ---------------------------------------------------------------------------
+
+def _block_causal_kernel3(L, q_ref, k_ref, v_ref, o_ref):
+    qb = q_ref.shape[1]
+    kv_len = k_ref.shape[1]
+    i = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    scores = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    row_frame = (i * qb + jax.lax.broadcasted_iota(jnp.int32, (qb, kv_len), 0)) // L
+    col_frame = jax.lax.broadcasted_iota(jnp.int32, (qb, kv_len), 1) // L
+    scores = jnp.where(row_frame >= col_frame, scores, _NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1)
+    o_ref[0] = jax.lax.dot_general(
+        weights, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _branch_kernel3(L, q_ref, k0_ref, v0_ref, kb_ref, vb_ref, o_ref):
+    qb = q_ref.shape[1]
+    kv_len = k0_ref.shape[1]
+    i = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)
+    k0 = k0_ref[0].astype(jnp.float32)
+    kb = kb_ref[0].astype(jnp.float32)
+
+    scores_old = jax.lax.dot_general(q, k0, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    row_frame = (i * qb + jax.lax.broadcasted_iota(jnp.int32, (qb, kv_len), 0)) // L
+    col_frame = jax.lax.broadcasted_iota(jnp.int32, (qb, kv_len), 1) // L
+    scores_old = jnp.where(row_frame > col_frame, scores_old, _NEG_INF)
+
+    # own-frame block: kb tile is the SAME tile index as q (aligned blocks)
+    scores_new = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    row_frame_n = jax.lax.broadcasted_iota(jnp.int32, (qb, qb), 0) // L
+    col_frame_n = jax.lax.broadcasted_iota(jnp.int32, (qb, qb), 1) // L
+    scores_new = jnp.where(row_frame_n == col_frame_n, scores_new, _NEG_INF)
+
+    # jointly normalized softmax over [old | new]
+    m = jnp.maximum(jnp.max(scores_old, -1, keepdims=True),
+                    jnp.max(scores_new, -1, keepdims=True))
+    e_old = jnp.exp(scores_old - m)
+    e_new = jnp.exp(scores_new - m)
+    denom = jnp.sum(e_old, -1, keepdims=True) + jnp.sum(e_new, -1, keepdims=True)
+    out = jax.lax.dot_general(e_old / denom, v0_ref[0].astype(jnp.float32),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out = out + jax.lax.dot_general(e_new / denom, vb_ref[0].astype(jnp.float32),
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _run_block_causal(q, k, v, L, interpret=False):
+    BH, TL, dh = q.shape
+    qb = _pick_q_block(TL, L)
+    return pl.pallas_call(
+        functools.partial(_block_causal_kernel3, L),
+        grid=(BH, TL // qb),
+        in_specs=[
+            pl.BlockSpec((1, qb, dh), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, TL, dh), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, TL, dh), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, qb, dh), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _run_branch(q, k0, v0, kb, vb, L, interpret=False):
+    BH, TL, dh = q.shape
+    qb = _pick_q_block(TL, L)
+    return pl.pallas_call(
+        functools.partial(_branch_kernel3, L),
+        grid=(BH, TL // qb),
+        in_specs=[
+            pl.BlockSpec((1, qb, dh), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, TL, dh), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, TL, dh), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, qb, dh), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, qb, dh), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, qb, dh), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(q, k0, v0, kb, vb)
+
+
+# ---------------------------------------------------------------------------
+# Public API with dense-backward custom_vjp
+# ---------------------------------------------------------------------------
+
+def supported(T, L, dh, platform=None):
+    """Whether the fused kernels handle this shape on this platform."""
+    if platform is None:
+        platform = jax.devices()[0].platform
+    if platform not in ('tpu',):
+        return False
+    TL = T * L
+    if _pick_q_block(TL, L) is None:
+        return False
+    # K/V of one (batch, head) + score tile must fit VMEM comfortably
+    return TL <= 4096 and dh in (32, 64, 128, 256) and L >= 8 and L % 8 == 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_block_causal_attention(q, k, v, L):
+    """[B, H, T, L, dh] stream-0 attention via the fused kernel."""
+    B, H, T, Lq, dh = q.shape
+    out = _run_block_causal(q.reshape(B * H, T * Lq, dh),
+                            k.reshape(B * H, T * Lq, dh),
+                            v.reshape(B * H, T * Lq, dh), L)
+    return out.reshape(q.shape)
+
+
+def _fbc_fwd(q, k, v, L):
+    return fused_block_causal_attention(q, k, v, L), (q, k, v)
+
+
+def _fbc_bwd(L, residuals, g):
+    from .branching_attention import block_causal_attention
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda q, k, v: block_causal_attention(q, k, v), q, k, v)
+    return vjp(g)
+
+
+fused_block_causal_attention.defvjp(_fbc_fwd, _fbc_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_branch_attention(q_branches, k0, v0, k_branches, v_branches, L):
+    """[S, B, H, T, L, dh] side-stream attention via the fused kernel.
+    Stream-0 K/V are broadcast across the S branches."""
+    S, B, H, T, Lq, dh = q_branches.shape
+    TL = T * Lq
+    qf = q_branches.reshape(S * B * H, TL, dh)
+    k0f = jnp.broadcast_to(k0.reshape(1, B * H, TL, dh),
+                           (S, B * H, TL, dh)).reshape(S * B * H, TL, dh)
+    v0f = jnp.broadcast_to(v0.reshape(1, B * H, TL, dh),
+                           (S, B * H, TL, dh)).reshape(S * B * H, TL, dh)
+    kbf = k_branches.reshape(S * B * H, TL, dh)
+    vbf = v_branches.reshape(S * B * H, TL, dh)
+    out = _run_branch(qf, k0f, v0f, kbf, vbf, L)
+    return out.reshape(q_branches.shape)
+
+
+def _fb_fwd(q_branches, k0, v0, k_branches, v_branches, L):
+    return (fused_branch_attention(q_branches, k0, v0, k_branches, v_branches, L),
+            (q_branches, k0, v0, k_branches, v_branches))
+
+
+def _fb_bwd(L, residuals, g):
+    from .branching_attention import branch_attention
+    q_branches, k0, v0, k_branches, v_branches = residuals
+    _, vjp = jax.vjp(
+        lambda qb, k0, v0, kb, vb: branch_attention(qb, k0, v0, kb, vb),
+        q_branches, k0, v0, k_branches, v_branches)
+    return vjp(g)
+
+
+fused_branch_attention.defvjp(_fb_fwd, _fb_bwd)

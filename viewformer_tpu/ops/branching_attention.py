@@ -104,12 +104,31 @@ def branch_attention(q_branches, k0, v0, k_branches, v_branches,
     return out
 
 
-def multi_end_block_attention(kset, vset, qset, dropout_rate=0.0, dropout_rng=None):
+def multi_end_block_attention(kset, vset, qset, dropout_rate=0.0, dropout_rng=None,
+                              use_fused='auto'):
     """Full branching attention over a list of streams.
 
     kset/vset/qset: tuples of [B, H, T, L, dh], stream 0 first. Returns a
     tuple of per-stream outputs (semantics of ref
-    compute_causal_block_multiend_attention)."""
+    compute_causal_block_multiend_attention).
+
+    use_fused: 'auto' dispatches to the Pallas VMEM-resident kernels
+    (ops/attention_pallas.py) on TPU when dropout is off and the shape is
+    supported; True forces, False disables."""
+    B, H, T, L, dh = qset[0].shape
+    if use_fused in ('auto', True) and (dropout_rng is None or dropout_rate <= 0.0):
+        from . import attention_pallas
+        if use_fused is True or attention_pallas.supported(T, L, dh):
+            out0 = attention_pallas.fused_block_causal_attention(
+                qset[0], kset[0], vset[0], L)
+            outputs = (out0,)
+            if len(qset) > 1:
+                outs = attention_pallas.fused_branch_attention(
+                    jnp.stack(qset[1:], 0), kset[0], vset[0],
+                    jnp.stack(kset[1:], 0), jnp.stack(vset[1:], 0), L)
+                outputs = outputs + tuple(outs[i] for i in range(outs.shape[0]))
+            return outputs
+
     rng0 = rng1 = None
     if dropout_rng is not None:
         rng0, rng1 = jax.random.split(dropout_rng)

@@ -10,6 +10,7 @@ spawning, a single jitted step runs SPMD over the mesh — batch sharded on
 quantizer statistics reduced implicitly (see ops/quantizer.py).
 """
 import functools
+import os
 from typing import Any, NamedTuple
 
 import jax
@@ -119,7 +120,8 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
                    total_steps=None, epochs=100, batch_size=None,
                    accumulate_grad_batches=1, resume=True, seed=42,
                    use_bf16=True, wandb=False, log_every=50,
-                   num_val_batches=8, mesh=None, progress=True):
+                   num_val_batches=8, mesh=None, progress=True,
+                   profile_batch=50):
     """Full training loop (CLI entry `train codebook`)."""
     from ..data.pipeline import load_image_dataset
     from ..models.lpips import load_lpips
@@ -161,8 +163,15 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
             epoch_end = min(step + steps_per_epoch, total_steps)
             while step < epoch_end:
                 batch = mesh_lib.shard_batch(mesh, next(train_iter))
+                # profiler trace window around step `profile_batch`
+                # (ref TensorBoard profile_batch=50 hook, train_transformer.py:94-97)
+                if profile_batch and step == profile_batch - 1:
+                    jax.profiler.start_trace(os.path.join(job_dir, 'profile'))
                 state, metrics = train_step(state, batch)
                 step += 1
+                if profile_batch and step == profile_batch + 1:
+                    jax.tree.map(lambda x: x.block_until_ready(), metrics)
+                    jax.profiler.stop_trace()
                 if step % log_every == 0 or step == total_steps:
                     logger.log(step, jax.device_get(metrics))
                     if progress:
@@ -178,10 +187,15 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
                 if count >= num_val_batches:
                     break
                 batch = mesh_lib.shard_batch(mesh, batch)
-                metrics, _dec = eval_step(state, batch)
+                metrics, dec = eval_step(state, batch)
                 metrics = jax.device_get(metrics)
                 for k, v in metrics.items():
                     val_metrics.setdefault(k, []).append(float(v))
+                if count == 0:
+                    # per-epoch reconstruction grid (ref CustomLoggingCallback)
+                    recon = np.clip(np.asarray(jax.device_get(dec)) / 2 + 0.5, 0, 1)
+                    logger.log_images(step, (recon * 255).astype(np.uint8),
+                                      tag='reconstructed')
                 count += 1
             val_metrics = {k: float(np.mean(v)) for k, v in val_metrics.items()}
             if val_metrics:

@@ -18,6 +18,7 @@ TPU-native redesign:
 """
 import functools
 import math
+import os
 from typing import Any, NamedTuple
 
 import jax
@@ -197,7 +198,8 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
                       codebook_path=None, total_steps=None, epochs=100,
                       batch_size=None, resume=True, finetune_from=None,
                       seed=42, use_bf16=True, wandb=False, log_every=50,
-                      max_samples_per_environment=-1, mesh=None, progress=True):
+                      max_samples_per_environment=-1, mesh=None, progress=True,
+                      profile_batch=50):
     """Full training loop (CLI `train transformer` / `train finetune-transformer`).
 
     finetune_from: a job dir whose best/last checkpoint seeds the params while
@@ -251,8 +253,13 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
             epoch_end = min(step + steps_per_epoch, total_steps)
             while step < epoch_end:
                 batch = mesh_lib.shard_batch(mesh, next(train_iter))
+                if profile_batch and step == profile_batch - 1:
+                    jax.profiler.start_trace(os.path.join(job_dir, 'profile'))
                 state, metrics = train_step(state, batch, rng)
                 step += 1
+                if profile_batch and step == profile_batch + 1:
+                    jax.tree.map(lambda x: x.block_until_ready(), metrics)
+                    jax.profiler.stop_trace()
                 if step % log_every == 0 or step == total_steps:
                     m = jax.device_get(metrics)
                     logger.log(step, m)
