@@ -7,7 +7,11 @@ context frames through the VQ-GAN tower, one MIGT transformer pass predicting
 the query frame's full 8x8 token grid (single-shot, matching reference
 inference — see BASELINE.md note on decode semantics), decode the generated
 frame. Models are the full-size reference configs (VQ-GAN ch=128 @128px;
-MIGT 12L/768d/12H over 20x64 tokens), bf16 compute.
+MIGT 12L/768d/12H over 20x64 tokens), bf16 compute, fused Pallas attention.
+
+The pipeline is three jitted programs (encode / generate / decode) chained on
+device — same device work as one giant jit, far faster to compile, and the
+natural serving decomposition (context encoding is reusable across queries).
 
 vs_baseline uses an analytic estimate of the reference stacks on A100 (no
 published numbers exist; BASELINE.json "published" is empty): ~40 novel
@@ -22,75 +26,99 @@ import time
 import numpy as np
 
 ESTIMATED_A100_REFERENCE_FPS = 40.0
+S = 20
+B = 8  # sequences per call -> 160 images through the conv tower
 
 
-def main():
-    import os
-
+def main(verbose=False):
     import jax
     import jax.numpy as jnp
-
-    # persistent XLA compile cache: first run pays compile, reruns are fast
-    cache_dir = os.path.expanduser('~/.cache/viewformer_tpu/xla_cache')
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update('jax_compilation_cache_dir', cache_dir)
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
     from viewformer_tpu.config import MIGTConfig, VQGANConfig
     from viewformer_tpu.models import AutoModel
 
-    codebook_config = VQGANConfig()
-    transformer_config = MIGTConfig()
-    S = transformer_config.sequence_size
-    B = 8  # sequences per call -> 160 images through the conv tower
+    def log(msg):
+        if verbose:
+            print(f'[{time.strftime("%H:%M:%S")}] {msg}', flush=True)
 
-    codebook = AutoModel.from_config(codebook_config, dtype=jnp.bfloat16)
-    transformer = AutoModel.from_config(transformer_config, dtype=jnp.bfloat16)
+    codebook = AutoModel.from_config(VQGANConfig(), dtype=jnp.bfloat16)
+    transformer = AutoModel.from_config(MIGTConfig(), dtype=jnp.bfloat16)
 
-    # init on CPU (on-device init would recompile both towers just to draw
+    # init on CPU (on-device init would compile both towers just to draw
     # random numbers), then transfer
     cpu = jax.devices('cpu')[0]
     with jax.default_device(cpu):
-        rng = jax.random.PRNGKey(0)
-        k1, k2, k3 = jax.random.split(rng, 3)
-        dummy_img = jnp.zeros((1, 128, 128, 3), jnp.float32)
-        codebook_vars = codebook.init({'params': k1, 'quantizer': k2}, dummy_img,
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        codebook_vars = codebook.init({'params': k1, 'quantizer': k2},
+                                      jnp.zeros((1, 128, 128, 3), jnp.float32),
                                       training=False)
-        dummy_poses = jnp.zeros((1, S, 7), jnp.float32)
-        dummy_tokens = jnp.zeros((1, S, 8, 8), jnp.int32)
-        transformer_vars = transformer.init(k3, dummy_poses, dummy_tokens,
-                                            compute_losses=False)
+        transformer_vars = transformer.init(
+            k3, jnp.zeros((1, S, 7), jnp.float32),
+            jnp.zeros((1, S, 8, 8), jnp.int32), compute_losses=False)
     device = jax.devices()[0]
     codebook_vars = jax.device_put(codebook_vars, device)
     transformer_vars = jax.device_put(transformer_vars, device)
+    log('params initialized')
 
-    from viewformer_tpu.evaluate.transformer import make_generate_batch_predictions
-    predict = make_generate_batch_predictions(transformer, transformer_vars,
-                                              codebook, codebook_vars)
+    cvars = {'params': codebook_vars['params'], 'quantizer': codebook_vars['quantizer']}
+    tvars = {'params': transformer_vars['params']}
 
-    images = jnp.asarray(np.random.RandomState(0).rand(B, S, 128, 128, 3) * 2 - 1,
-                         jnp.float32)
+    @jax.jit
+    def encode(images):
+        flat = images.reshape((B * S,) + images.shape[2:])
+        _q, _l, codes = codebook.apply(cvars, flat, training=False,
+                                       method=type(codebook).encode)
+        return codes.reshape(B, S, 8, 8).astype(jnp.int32)
+
+    @jax.jit
+    def generate(cameras, codes):
+        masked = jnp.concatenate(
+            [codes[:, :-1], jnp.full_like(codes[:, :1], transformer.mask_token)], 1)
+        out = transformer.apply(tvars, cameras, masked, compute_losses=False)
+        return jnp.argmax(out['logits'], -1)[:, -1]
+
+    @jax.jit
+    def decode(generated_codes):
+        dec = codebook.apply(cvars, generated_codes, method=type(codebook).decode_code)
+        return ((jnp.clip(dec, -1, 1) / 2 + 0.5) * 255.0 + 0.5).astype(jnp.uint8)
+
+    images = jax.device_put(
+        jnp.asarray(np.random.RandomState(0).rand(B, S, 128, 128, 3) * 2 - 1,
+                    jnp.float32), device)
     q = np.random.RandomState(1).randn(B, S, 4)
     q /= np.linalg.norm(q, axis=-1, keepdims=True)
-    cameras = jnp.asarray(np.concatenate([np.random.RandomState(2).randn(B, S, 3), q], -1),
-                          jnp.float32)
+    cameras = jax.device_put(
+        jnp.asarray(np.concatenate([np.random.RandomState(2).randn(B, S, 3), q], -1),
+                    jnp.float32), device)
 
-    # warmup / compile
-    out = predict(images, cameras)
-    jax.block_until_ready(out)
-    out = predict(images, cameras)
-    jax.block_until_ready(out)
+    t0 = time.time()
+    codes = encode(images)
+    jax.block_until_ready(codes)
+    log(f'encode compiled ({time.time() - t0:.1f}s)')
+    t0 = time.time()
+    gen = generate(cameras, codes)
+    jax.block_until_ready(gen)
+    log(f'generate compiled ({time.time() - t0:.1f}s)')
+    t0 = time.time()
+    img = decode(gen)
+    jax.block_until_ready(img)
+    log(f'decode compiled ({time.time() - t0:.1f}s)')
+
+    def full_pipeline(images, cameras):
+        return decode(generate(cameras, encode(images)))
+
+    jax.block_until_ready(full_pipeline(images, cameras))  # warm
 
     iters = 20
-    start = time.perf_counter()
+    t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
-        out = predict(images, cameras)
+        out = full_pipeline(images, cameras)
     jax.block_until_ready(out)
-    elapsed = time.perf_counter() - start
+    elapsed = time.perf_counter() - t0
 
     frames_per_sec = B * iters / elapsed
-    n_chips = jax.device_count()
-    value = frames_per_sec / n_chips
+    value = frames_per_sec / jax.device_count()
     print(json.dumps({
         'metric': '128px novel-view frames/sec/chip (encode+generate+decode)',
         'value': round(value, 3),
@@ -100,4 +128,5 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    import sys
+    main(verbose='-v' in sys.argv)

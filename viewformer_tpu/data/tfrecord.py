@@ -18,6 +18,8 @@ import struct
 
 import numpy as np
 
+from . import native as _native
+
 try:
     import google_crc32c
 
@@ -196,10 +198,15 @@ def _decode_feature(buf, start, end):
             return np.concatenate(chunks) if chunks else np.zeros((0,), np.float32)
         if field == _INT64_LIST:
             values = []
+            chunks = []
             for f2, w2, s2, e2 in _iter_fields(buf, s, e):
                 if f2 != 1:
                     continue
-                if w2 == 2:  # packed varints
+                if w2 == 2:  # packed varints — native fast path when built
+                    decoded = _native.decode_varints(buf[s2:e2])
+                    if decoded is not None:
+                        chunks.append(decoded)
+                        continue
                     pos = s2
                     while pos < e2:
                         v, pos = _read_varint(buf, pos)
@@ -207,7 +214,11 @@ def _decode_feature(buf, start, end):
                 elif w2 == 0:
                     v, _ = _read_varint(buf, s2)
                     values.append(v)
+            if chunks and not values:
+                return np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
             arr = np.array(values, np.uint64).astype(np.int64)
+            if chunks:
+                arr = np.concatenate(chunks + [arr])
             return arr
     return None
 
@@ -295,8 +306,21 @@ def read_records(path, verify_crc=False):
 
 def read_record_spans(path):
     """Walk TFRecord framing without decoding; yields (offset, total_length)
-    per record — the format of the `.index` sidecar."""
-    with open(path, 'rb') as f:
+    per record — the format of the `.index` sidecar. Uses the native codec's
+    single-pass walk when built."""
+    if '://' not in str(path):
+        spans = None
+        try:
+            with open(path, 'rb') as f:
+                spans = _native.index_records(f.read())
+        except IOError:
+            raise
+        except Exception:
+            spans = None
+        if spans is not None:
+            yield from spans
+            return
+    with _open_binary(path) as f:
         while True:
             offset = f.tell()
             header = f.read(8)

@@ -136,10 +136,10 @@ def _run_branch(q, k0, v0, kb, vb, L, interpret=False):
 # ---------------------------------------------------------------------------
 
 def supported(T, L, dh, platform=None):
-    """Whether the fused kernels handle this shape on this platform."""
-    if platform is None:
-        platform = jax.devices()[0].platform
-    if platform not in ('tpu',):
+    """Whether the fused kernels handle this shape (platform routing happens
+    via jax.lax.platform_dependent at lowering time; pass `platform` only to
+    additionally pre-filter)."""
+    if platform is not None and platform not in ('tpu',):
         return False
     TL = T * L
     if _pick_q_block(TL, L) is None:

@@ -113,21 +113,43 @@ def multi_end_block_attention(kset, vset, qset, dropout_rate=0.0, dropout_rng=No
     compute_causal_block_multiend_attention).
 
     use_fused: 'auto' dispatches to the Pallas VMEM-resident kernels
-    (ops/attention_pallas.py) on TPU when dropout is off and the shape is
-    supported; True forces, False disables."""
+    (ops/attention_pallas.py) when the shape is supported and dropout is off;
+    routing is per lowering platform (jax.lax.platform_dependent: tpu ->
+    fused, anything else -> dense), so the same traced program works on a CPU
+    mesh and the TPU. True forces fused, False disables."""
     B, H, T, L, dh = qset[0].shape
     if use_fused in ('auto', True) and (dropout_rng is None or dropout_rate <= 0.0):
         from . import attention_pallas
         if use_fused is True or attention_pallas.supported(T, L, dh):
-            out0 = attention_pallas.fused_block_causal_attention(
-                qset[0], kset[0], vset[0], L)
-            outputs = (out0,)
-            if len(qset) > 1:
-                outs = attention_pallas.fused_branch_attention(
-                    jnp.stack(qset[1:], 0), kset[0], vset[0],
-                    jnp.stack(kset[1:], 0), jnp.stack(vset[1:], 0), L)
-                outputs = outputs + tuple(outs[i] for i in range(outs.shape[0]))
-            return outputs
+            def fused_path(q0, k0, v0, *branches):
+                out0 = attention_pallas.fused_block_causal_attention(q0, k0, v0, L)
+                outputs = (out0,)
+                if branches:
+                    n = len(branches) // 3
+                    qb = jnp.stack(branches[:n], 0)
+                    kb = jnp.stack(branches[n:2 * n], 0)
+                    vb = jnp.stack(branches[2 * n:], 0)
+                    outs = attention_pallas.fused_branch_attention(qb, k0, v0, kb, vb, L)
+                    outputs = outputs + tuple(outs[i] for i in range(outs.shape[0]))
+                return outputs
+
+            def dense_path(q0, k0, v0, *branches):
+                out0 = block_causal_attention(q0, k0, v0)
+                outputs = (out0,)
+                if branches:
+                    n = len(branches) // 3
+                    qb = jnp.stack(branches[:n], 0)
+                    kb = jnp.stack(branches[n:2 * n], 0)
+                    vb = jnp.stack(branches[2 * n:], 0)
+                    outs = branch_attention(qb, k0, v0, kb, vb)
+                    outputs = outputs + tuple(outs[i] for i in range(outs.shape[0]))
+                return outputs
+
+            args = (qset[0], kset[0], vset[0]) + tuple(qset[1:]) + tuple(kset[1:]) \
+                + tuple(vset[1:])
+            if use_fused is True:
+                return fused_path(*args)
+            return jax.lax.platform_dependent(*args, tpu=fused_path, default=dense_path)
 
     rng0 = rng1 = None
     if dropout_rng is not None:
