@@ -60,27 +60,35 @@ def main(verbose=False):
     transformer_vars = jax.device_put(transformer_vars, device)
     log('params initialized')
 
+    import functools
+
     cvars = {'params': codebook_vars['params'], 'quantizer': codebook_vars['quantizer']}
     tvars = {'params': transformer_vars['params']}
 
-    @jax.jit
-    def encode(images):
+    # variables are jit ARGUMENTS — closure-captured arrays get baked into the
+    # HLO as constants and compile time explodes at full model size
+    @functools.partial(jax.jit, donate_argnums=())
+    def encode_fn(cvars, images):
         flat = images.reshape((B * S,) + images.shape[2:])
         _q, _l, codes = codebook.apply(cvars, flat, training=False,
                                        method=type(codebook).encode)
         return codes.reshape(B, S, 8, 8).astype(jnp.int32)
 
     @jax.jit
-    def generate(cameras, codes):
+    def generate_fn(tvars, cameras, codes):
         masked = jnp.concatenate(
             [codes[:, :-1], jnp.full_like(codes[:, :1], transformer.mask_token)], 1)
         out = transformer.apply(tvars, cameras, masked, compute_losses=False)
         return jnp.argmax(out['logits'], -1)[:, -1]
 
     @jax.jit
-    def decode(generated_codes):
+    def decode_fn(cvars, generated_codes):
         dec = codebook.apply(cvars, generated_codes, method=type(codebook).decode_code)
         return ((jnp.clip(dec, -1, 1) / 2 + 0.5) * 255.0 + 0.5).astype(jnp.uint8)
+
+    encode = functools.partial(encode_fn, cvars)
+    generate = functools.partial(generate_fn, tvars)
+    decode = functools.partial(decode_fn, cvars)
 
     images = jax.device_put(
         jnp.asarray(np.random.RandomState(0).rand(B, S, 128, 128, 3) * 2 - 1,
@@ -107,14 +115,15 @@ def main(verbose=False):
     def full_pipeline(images, cameras):
         return decode(generate(cameras, encode(images)))
 
-    jax.block_until_ready(full_pipeline(images, cameras))  # warm
+    # NOTE: block_until_ready does not actually synchronize under the axon
+    # tunnel platform — fetch results to host each iteration instead (also
+    # the realistic serving path: generated frames must reach the host).
+    np.asarray(full_pipeline(images, cameras))  # warm
 
     iters = 20
     t0 = time.perf_counter()
-    out = None
     for _ in range(iters):
-        out = full_pipeline(images, cameras)
-    jax.block_until_ready(out)
+        out = np.asarray(full_pipeline(images, cameras))
     elapsed = time.perf_counter() - t0
 
     frames_per_sec = B * iters / elapsed

@@ -26,12 +26,15 @@ class LatentCodeTransformer:
         self.batch_size = batch_size or model.config.batch_size
         self.mesh = mesh
 
-        def encode(images):
+        import functools
+
+        # variables are jit arguments, not closure captures (compile-time blowup)
+        def encode(variables, images):
             _quant, _loss, codes = self.model.apply(
-                self.variables, images, training=False,
+                variables, images, training=False,
                 method=type(self.model).encode)
             return codes
-        self._encode = jax.jit(encode)
+        self._encode = functools.partial(jax.jit(encode), self.variables)
 
     def output_features(self, features):
         if features is not None and 'cameras-gqn' in features:

@@ -16,17 +16,20 @@ from .transformer import build_store_predictions
 
 
 def make_reconstruct(codebook_model, codebook_vars):
+    import functools
+
     variables = {'params': codebook_vars['params'], 'quantizer': codebook_vars['quantizer']}
 
+    # variables are jit arguments, not closure captures (compile-time blowup)
     @jax.jit
-    def reconstruct(images):
+    def reconstruct(variables, images):
         _quant, _loss, codes = codebook_model.apply(
             variables, images, training=False, method=type(codebook_model).encode)
         dec = codebook_model.apply(variables, codes, method=type(codebook_model).decode_code)
         dec = jnp.clip(dec, -1, 1)
         return ((dec / 2 + 0.5) * 255.0 + 0.5).astype(jnp.uint8)
 
-    return reconstruct
+    return functools.partial(reconstruct, variables)
 
 
 def generate_batch_predictions(codebook_model, codebook_vars, images, _cache={}):

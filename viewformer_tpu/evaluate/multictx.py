@@ -21,14 +21,17 @@ from .transformer import (from_relative_cameras, normalize_cameras,
 
 def make_generate_batch_predictions(transformer_model, transformer_vars,
                                     codebook_model, codebook_vars):
+    import functools
+
     codebook_variables = {'params': codebook_vars['params'],
                           'quantizer': codebook_vars['quantizer']}
     transformer_variables = {'params': transformer_vars['params']}
     use_localization = not transformer_model.config.localization_weight.is_zero()
     relative = transformer_model.config.augment_poses == 'relative'
 
+    # variables are jit arguments, not closure captures (compile-time blowup)
     @jax.jit
-    def predict(images, cameras):
+    def predict(transformer_variables, codebook_variables, images, cameras):
         B, S = images.shape[:2]
         ground_truth_cameras = cameras[:, -1]
         transform = None
@@ -75,7 +78,7 @@ def make_generate_batch_predictions(transformer_model, transformer_vars,
                     generated_cameras=generated_cameras,
                     ground_truth_cameras=ground_truth_cameras)
 
-    return predict
+    return functools.partial(predict, transformer_variables, codebook_variables)
 
 
 def generate_batch_predictions(transformer_model, transformer_vars, codebook_model,

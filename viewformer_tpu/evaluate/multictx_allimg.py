@@ -20,12 +20,15 @@ from .transformer import (from_relative_cameras, normalize_cameras,
 
 
 def make_transformer_predict(transformer_model, transformer_vars):
+    import functools
+
     variables = {'params': transformer_vars['params']}
     use_localization = not transformer_model.config.localization_weight.is_zero()
     relative = transformer_model.config.augment_poses == 'relative'
 
+    # variables are jit arguments, not closure captures (compile-time blowup)
     @jax.jit
-    def predict(cameras, codes):
+    def predict(variables, cameras, codes):
         transform = None
         if relative:
             cameras, transform = to_relative_cameras(cameras)
@@ -51,7 +54,7 @@ def make_transformer_predict(transformer_model, transformer_vars):
                 generated_cameras = from_relative_cameras(generated_cameras, transform)
         return generated_cameras, generated_codes
 
-    return predict
+    return functools.partial(predict, variables)
 
 
 def run_with_batchsize(fn, batch_size, *args, **kwargs):

@@ -54,14 +54,19 @@ def make_generate_batch_predictions(transformer_model, transformer_vars,
                                     codebook_model, codebook_vars):
     """Build the jitted fused predict fn: (images f32 [-1,1] [B,S,H,W,C],
     cameras [B,S,7]) -> dict of device arrays."""
+    import functools
+
     codebook_variables = {'params': codebook_vars['params'],
                           'quantizer': codebook_vars['quantizer']}
     transformer_variables = {'params': transformer_vars['params']}
     use_localization = not transformer_model.config.localization_weight.is_zero()
     relative = transformer_model.config.augment_poses == 'relative'
 
+    # NOTE: variables are jit ARGUMENTS, never closure captures — captured
+    # arrays are baked into the HLO as constants, which makes XLA compile
+    # time explode at full model size.
     @jax.jit
-    def predict(images, cameras):
+    def predict(transformer_variables, codebook_variables, images, cameras):
         B, S = images.shape[:2]
         ground_truth_cameras = cameras[:, -1]
         transform = None
@@ -106,7 +111,7 @@ def make_generate_batch_predictions(transformer_model, transformer_vars,
                     generated_cameras=generated_cameras,
                     ground_truth_cameras=ground_truth_cameras)
 
-    return predict
+    return functools.partial(predict, transformer_variables, codebook_variables)
 
 
 def generate_batch_predictions(transformer_model, transformer_vars, codebook_model,
