@@ -27,7 +27,7 @@ import numpy as np
 
 ESTIMATED_A100_REFERENCE_FPS = 40.0
 S = 20
-B = 8  # sequences per call -> 160 images through the conv tower
+B = 32  # sequences per call -> 608 context images through the conv tower
 
 
 def main(verbose=False):
@@ -69,15 +69,17 @@ def main(verbose=False):
     # HLO as constants and compile time explodes at full model size
     @functools.partial(jax.jit, donate_argnums=())
     def encode_fn(cvars, images):
-        flat = images.reshape((B * S,) + images.shape[2:])
+        # only the S-1 context frames need encoding: the query frame enters
+        # the transformer as mask tokens (one-shot generation semantics)
+        flat = images[:, :-1].reshape((B * (S - 1),) + images.shape[2:])
         _q, _l, codes = codebook.apply(cvars, flat, training=False,
                                        method=type(codebook).encode)
-        return codes.reshape(B, S, 8, 8).astype(jnp.int32)
+        return codes.reshape(B, S - 1, 8, 8).astype(jnp.int32)
 
     @jax.jit
     def generate_fn(tvars, cameras, codes):
         masked = jnp.concatenate(
-            [codes[:, :-1], jnp.full_like(codes[:, :1], transformer.mask_token)], 1)
+            [codes, jnp.full_like(codes[:, :1], transformer.mask_token)], 1)
         out = transformer.apply(tvars, cameras, masked, compute_losses=False)
         return jnp.argmax(out['logits'], -1)[:, -1]
 

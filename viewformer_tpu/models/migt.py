@@ -291,9 +291,12 @@ class MIGT(nn.Module):
         streams = [self.ln_f(x) for x in streams]
 
         output = {'hidden_states': streams}
-        # tied output embedding, truncated to real vocabulary (ref migt.py:417)
-        lm_logits = jnp.einsum('btld,vd->btlv', streams[gen_pointer].astype(jnp.float32),
-                               self.wte.embedding[:cfg.n_embeddings].astype(jnp.float32))
+        # tied output embedding, truncated to real vocabulary (ref migt.py:417).
+        # bf16 operands + f32 accumulation: full MXU rate, f32 logits for CE
+        lm_logits = jnp.einsum('btld,vd->btlv', streams[gen_pointer],
+                               self.wte.embedding[:cfg.n_embeddings].astype(self.dtype),
+                               preferred_element_type=jnp.float32)
+        lm_logits = lm_logits.astype(jnp.float32)
 
         loss = 0.0
         if compute_losses:

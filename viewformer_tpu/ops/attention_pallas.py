@@ -46,16 +46,16 @@ def _block_causal_kernel3(L, q_ref, k_ref, v_ref, o_ref):
     qb = q_ref.shape[1]
     kv_len = k_ref.shape[1]
     i = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    scores = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    # native-dtype (bf16) MXU inputs with f32 accumulation — upcasting inputs
+    # to f32 first would run the MXU at a fraction of its bf16 rate
+    scores = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
     row_frame = (i * qb + jax.lax.broadcasted_iota(jnp.int32, (qb, kv_len), 0)) // L
     col_frame = jax.lax.broadcasted_iota(jnp.int32, (qb, kv_len), 1) // L
     scores = jnp.where(row_frame >= col_frame, scores, _NEG_INF)
-    weights = jax.nn.softmax(scores, axis=-1)
+    weights = jax.nn.softmax(scores, axis=-1)  # f32 softmax
     o_ref[0] = jax.lax.dot_general(
-        weights, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        weights.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
@@ -63,18 +63,15 @@ def _branch_kernel3(L, q_ref, k0_ref, v0_ref, kb_ref, vb_ref, o_ref):
     qb = q_ref.shape[1]
     kv_len = k0_ref.shape[1]
     i = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)
-    k0 = k0_ref[0].astype(jnp.float32)
-    kb = kb_ref[0].astype(jnp.float32)
-
-    scores_old = jax.lax.dot_general(q, k0, (((1,), (1,)), ((), ())),
+    # native-dtype MXU inputs, f32 accumulation (see block-causal kernel)
+    scores_old = jax.lax.dot_general(q_ref[0], k0_ref[0], (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
     row_frame = (i * qb + jax.lax.broadcasted_iota(jnp.int32, (qb, kv_len), 0)) // L
     col_frame = jax.lax.broadcasted_iota(jnp.int32, (qb, kv_len), 1) // L
     scores_old = jnp.where(row_frame > col_frame, scores_old, _NEG_INF)
 
     # own-frame block: kb tile is the SAME tile index as q (aligned blocks)
-    scores_new = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+    scores_new = jax.lax.dot_general(q_ref[0], kb_ref[0], (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
     row_frame_n = jax.lax.broadcasted_iota(jnp.int32, (qb, qb), 0) // L
     col_frame_n = jax.lax.broadcasted_iota(jnp.int32, (qb, qb), 1) // L
@@ -86,10 +83,10 @@ def _branch_kernel3(L, q_ref, k0_ref, v0_ref, kb_ref, vb_ref, o_ref):
     e_old = jnp.exp(scores_old - m)
     e_new = jnp.exp(scores_new - m)
     denom = jnp.sum(e_old, -1, keepdims=True) + jnp.sum(e_new, -1, keepdims=True)
-    out = jax.lax.dot_general(e_old / denom, v0_ref[0].astype(jnp.float32),
+    out = jax.lax.dot_general((e_old / denom).astype(v0_ref.dtype), v0_ref[0],
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    out = out + jax.lax.dot_general(e_new / denom, vb_ref[0].astype(jnp.float32),
+    out = out + jax.lax.dot_general((e_new / denom).astype(vb_ref.dtype), vb_ref[0],
                                     (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
     o_ref[0] = out.astype(o_ref.dtype)
