@@ -123,3 +123,53 @@ def test_first_branch_frame_attends_only_to_itself():
     for l in range(L):
         expected = naive_softmax_attention(qb[0, 0, 0, 0, l], kb[0, 0, 0, 0], vb[0, 0, 0, 0])
         np.testing.assert_allclose(out[0, 0, 0, 0, l], expected, atol=1e-6)
+
+
+def test_noncausal_multi_end_vs_naive():
+    from viewformer_tpu.ops.branching_attention import multi_end_block_attention_noncausal
+    rng = np.random.RandomState(6)
+    B, H, T, L, dh = 1, 1, 3, 2, 4
+    streams = [tuple(make_qkv(rng, B, H, T, L, dh) for _ in range(3)) for _ in range(2)]
+    kset = tuple(jnp.asarray(s[0]) for s in streams)
+    vset = tuple(jnp.asarray(s[1]) for s in streams)
+    qset = tuple(jnp.asarray(s[2]) for s in streams)
+    outs = multi_end_block_attention_noncausal(kset, vset, qset)
+    out0 = np.asarray(outs[0])
+    out1 = np.asarray(outs[1])
+    k0, v0 = np.asarray(kset[0]), np.asarray(vset[0])
+    k1, v1 = np.asarray(kset[1]), np.asarray(vset[1])
+    q0, q1 = np.asarray(qset[0]), np.asarray(qset[1])
+    # stream 0: attends everything
+    for t in range(T):
+        for l in range(L):
+            expected = naive_softmax_attention(q0[0, 0, t, l],
+                                               k0[0, 0].reshape(-1, dh),
+                                               v0[0, 0].reshape(-1, dh))
+            np.testing.assert_allclose(out0[0, 0, t, l], expected, atol=1e-5)
+    # branch: all stream-0 frames except own + own branch frame
+    for t in range(T):
+        other = [f for f in range(T) if f != t]
+        keys = np.concatenate([k0[0, 0, other].reshape(-1, dh), k1[0, 0, t]], 0)
+        values = np.concatenate([v0[0, 0, other].reshape(-1, dh), v1[0, 0, t]], 0)
+        for l in range(L):
+            expected = naive_softmax_attention(q1[0, 0, t, l], keys, values)
+            np.testing.assert_allclose(out1[0, 0, t, l], expected, atol=1e-5)
+
+
+def test_per_token_causal_multi_end_vs_naive():
+    from viewformer_tpu.ops.branching_attention import multi_end_causal_attention
+    rng = np.random.RandomState(7)
+    B, H, T, dh = 1, 1, 5, 4
+    k0, v0, q0, k1, v1, q1 = (rng.randn(B, H, T, dh).astype(np.float32)
+                              for _ in range(6))
+    outs = multi_end_causal_attention((jnp.asarray(k0), jnp.asarray(k1)),
+                                      (jnp.asarray(v0), jnp.asarray(v1)),
+                                      (jnp.asarray(q0), jnp.asarray(q1)))
+    out0, out1 = np.asarray(outs[0]), np.asarray(outs[1])
+    for t in range(T):
+        expected = naive_softmax_attention(q0[0, 0, t], k0[0, 0, :t + 1], v0[0, 0, :t + 1])
+        np.testing.assert_allclose(out0[0, 0, t], expected, atol=1e-5)
+        keys = np.concatenate([k0[0, 0, :t], k1[0, 0, t:t + 1]], 0)
+        values = np.concatenate([v0[0, 0, :t], v1[0, 0, t:t + 1]], 0)
+        expected = naive_softmax_attention(q1[0, 0, t], keys, values)
+        np.testing.assert_allclose(out1[0, 0, t], expected, atol=1e-5)

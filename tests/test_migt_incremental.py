@@ -1,0 +1,78 @@
+"""KV-cached incremental generation must match the one-shot forward exactly."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from viewformer_tpu.config import MIGTConfig
+from viewformer_tpu.models import migt_incremental as inc
+from viewformer_tpu.models.migt import MIGT
+from viewformer_tpu.utils.schedules import Schedule
+
+TINY = MIGTConfig(n_embeddings=16, n_head=2, d_model=32, n_layer=2, dropout=0.0,
+                  sequence_size=4, token_image_size=2, total_steps=100,
+                  n_loss_skip=1, localization_weight=Schedule.zero())
+
+
+@pytest.fixture(scope='module')
+def setup():
+    model = MIGT(TINY)
+    rng = np.random.RandomState(0)
+    poses = rng.randn(2, 4, 7).astype(np.float32)
+    poses[..., 3:] /= np.linalg.norm(poses[..., 3:], axis=-1, keepdims=True)
+    tokens = rng.randint(0, 16, (2, 4, 2, 2))
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(poses),
+                           jnp.asarray(tokens), compute_losses=True)
+    return model, variables['params'], jnp.asarray(poses), jnp.asarray(tokens)
+
+
+def test_incremental_matches_one_shot(setup):
+    model, params, poses, tokens = setup
+    B, T = tokens.shape[:2]
+
+    # one-shot: 3 context frames + masked query frame
+    masked = jnp.concatenate([tokens[:, :3],
+                              jnp.full_like(tokens[:, :1], model.mask_token)], 1)
+    one_shot = model.apply({'params': params}, poses, masked, compute_losses=False)
+    expected = np.asarray(one_shot['logits'])[:, -1]
+
+    # incremental: extend cache with 3 context frames, generate the query
+    cache = inc.init_cache(TINY, B, max_frames=8)
+    for t in range(3):
+        cache = inc.extend_cache(model, params, cache, tokens[:, t], poses[:, t])
+    assert int(cache['n']) == 3
+    logits = np.asarray(inc.generate_frame(model, params, cache, poses[:, -1]))
+    np.testing.assert_allclose(logits, expected, atol=2e-4)
+
+
+def test_incremental_each_context_size(setup):
+    """Chained generation: logits after n cached frames == one-shot with n
+    context frames, for every n."""
+    model, params, poses, tokens = setup
+    B = tokens.shape[0]
+    cache = inc.init_cache(TINY, B, max_frames=8)
+    for n in range(1, 4):
+        cache = inc.extend_cache(model, params, cache, tokens[:, n - 1], poses[:, n - 1])
+        logits = np.asarray(inc.generate_frame(model, params, cache, poses[:, -1]))
+        masked = jnp.concatenate([tokens[:, :n],
+                                  jnp.full_like(tokens[:, :1], model.mask_token)], 1)
+        p = jnp.concatenate([poses[:, :n], poses[:, -1:]], 1)
+        one_shot = model.apply({'params': params}, p, masked, compute_losses=False)
+        np.testing.assert_allclose(logits, np.asarray(one_shot['logits'])[:, -1],
+                                   atol=2e-4, err_msg=f'context size {n}')
+
+
+def test_incremental_jits(setup):
+    model, params, poses, tokens = setup
+    B = tokens.shape[0]
+    cache = inc.init_cache(TINY, B, max_frames=8)
+    extend = jax.jit(lambda p, c, t, po: inc.extend_cache(model, p, c, t, po))
+    generate = jax.jit(lambda p, c, po: inc.generate_frame(model, p, c, po))
+    for t in range(3):
+        cache = extend(params, cache, tokens[:, t], poses[:, t])
+    logits = generate(params, cache, poses[:, -1])
+    assert logits.shape == (B, 2, 2, 16)
+    assert np.isfinite(np.asarray(logits)).all()

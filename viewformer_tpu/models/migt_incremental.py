@@ -1,0 +1,160 @@
+"""KV-cached incremental generation for MIGT — the sequential-serving path.
+
+The reference generates chained frames by re-running the full transformer
+over the whole sequence for every new frame
+(ref evaluate_transformer_multictx_allimg.py:146-171, `keep_last_frame`).
+This module adds the TPU-native incremental alternative (the optional
+extension named in BASELINE.md): stream-0 keys/values are cached per layer,
+so appending a context frame costs one 64-token forward and generating a
+query frame costs one 64-token branch pass over the cache — O(T) per frame
+instead of O(T^2) per chain.
+
+All functions are pure over an explicit cache pytree:
+  cache: {'k': [n_layer, B, H, max_frames, L, dh],
+          'v': [n_layer, B, H, max_frames, L, dh],
+          'n': scalar int32 (frames filled)}
+
+Semantics match the one-shot model exactly (tested): a context frame attends
+cached frames plus its own block (block-causal); a generated frame attends
+cached frames strictly before it plus its own mask-token block.
+"""
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e9
+
+
+def init_cache(config, batch_size, max_frames, dtype=jnp.float32):
+    n_layer, H = config.n_layer, config.n_head
+    L = config.token_image_size ** 2
+    dh = config.d_model // H
+    shape = (n_layer, batch_size, H, max_frames, L, dh)
+    return {'k': jnp.zeros(shape, dtype), 'v': jnp.zeros(shape, dtype),
+            'n': jnp.zeros((), jnp.int32)}
+
+
+def _split_heads(x, H):
+    B, L, d = x.shape
+    return x.reshape(B, L, H, d // H).transpose(0, 2, 1, 3)  # [B, H, L, dh]
+
+
+def _merge_heads(x):
+    B, H, L, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, L, H * dh)
+
+
+def _attend_cache(q, cache_k, cache_v, own_k, own_v, n_valid, include_own_frame_idx):
+    """q [B,H,L,dh] over cached frames [B,H,F,L,dh] (valid: frame < n_valid)
+    plus the own block [B,H,L,dh]; joint softmax. Returns [B,H,L,dh]."""
+    B, H, F, L, dh = cache_k.shape
+    kc = cache_k.reshape(B, H, F * L, dh)
+    vc = cache_v.reshape(B, H, F * L, dh)
+    scores_old = jnp.einsum('bhqd,bhkd->bhqk', q, kc,
+                            preferred_element_type=jnp.float32)
+    frame_ids = jax.lax.broadcasted_iota(jnp.int32, (F * L,), 0) // L
+    valid = frame_ids < n_valid
+    scores_old = jnp.where(valid[None, None, None, :], scores_old, _NEG_INF)
+    scores_new = jnp.einsum('bhqd,bhkd->bhqk', q, own_k,
+                            preferred_element_type=jnp.float32)
+    joint = jnp.concatenate([scores_old, scores_new], -1)
+    weights = jax.nn.softmax(joint, axis=-1)
+    out = jnp.einsum('bhqk,bhkd->bhqd', weights[..., :F * L].astype(vc.dtype), vc)
+    out = out + jnp.einsum('bhqk,bhkd->bhqd', weights[..., F * L:].astype(own_v.dtype),
+                           own_v)
+    return out
+
+
+def _frame_embeddings(model, params, tokens, pose, is_mask_frame):
+    """Assemble one frame's input embeddings [B, L, d] (matching MIGT stream
+    assembly; ref migt.py:371-401)."""
+    cfg = model.config
+    L = cfg.token_image_size ** 2
+    wte = params['wte']['embedding']
+    wpe = params['wpe'][:L]
+
+    def pose_mlp(x):
+        h = x @ params['pose_embedding']['c_fc']['kernel'] + \
+            params['pose_embedding']['c_fc']['bias']
+        h = jax.nn.gelu(h, approximate=False)
+        return h @ params['pose_embedding']['c_proj']['kernel'] + \
+            params['pose_embedding']['c_proj']['bias']
+
+    xyz = pose[..., :3] * cfg.pose_multiplier
+    pose_in = jnp.concatenate([xyz, pose[..., 3:]], -1).astype(jnp.float32)
+    pose_embed = pose_mlp(pose_in)[:, None, :]  # [B, 1, d]
+    if is_mask_frame:
+        token_embed = wte[model.config.n_embeddings][None, None, :]
+    else:
+        token_embed = jnp.take(wte, tokens.reshape(tokens.shape[0], L), axis=0)
+    return token_embed + wpe[None] + pose_embed
+
+
+def _layer_norm(x, scale, bias, eps=1e-5):
+    mean = jnp.mean(x, -1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, -1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _block_incremental(model, block_params, H, x, cache_k, cache_v, n_valid):
+    """One transformer block over one frame [B, L, d] against the cache.
+    Returns (new_x, own_k, own_v) where own_k/v are this frame's stream-0
+    keys/values AFTER ln_1 (to be cached by the caller when appropriate)."""
+    ln1 = block_params['ln_1']
+    normed = _layer_norm(x, ln1['scale'], ln1['bias'])
+    c_attn = block_params['attn']['c_attn']
+    vqk = normed @ c_attn['kernel'] + c_attn['bias']
+    v, q, k = jnp.split(vqk, 3, axis=-1)  # reference chunk order
+    qh, kh, vh = (_split_heads(t, H) for t in (q, k, v))
+    attended = _attend_cache(qh, cache_k, cache_v, kh, vh, n_valid,
+                             include_own_frame_idx=None)
+    c_proj = block_params['attn']['c_proj']
+    x = x + (_merge_heads(attended) @ c_proj['kernel'] + c_proj['bias'])
+    ln2 = block_params['ln_2']
+    normed = _layer_norm(x, ln2['scale'], ln2['bias'])
+    mlp = block_params['mlp']
+    h = normed @ mlp['c_fc']['kernel'] + mlp['c_fc']['bias']
+    h = jax.nn.gelu(h, approximate=False)
+    x = x + (h @ mlp['c_proj']['kernel'] + mlp['c_proj']['bias'])
+    return x, kh, vh
+
+
+def extend_cache(model, params, cache, tokens, pose):
+    """Append one context frame: tokens [B, h, w], pose [B, 7].
+    Runs the stream-0 forward for this frame (attending cache + own block)
+    and writes its per-layer K/V into the cache."""
+    cfg = model.config
+    H = cfg.n_head
+    x = _frame_embeddings(model, params, tokens, pose, is_mask_frame=False)
+    n = cache['n']
+    new_k, new_v = cache['k'], cache['v']
+    for layer in range(cfg.n_layer):
+        block_params = params[f'h_{layer}']
+        x, kh, vh = _block_incremental(model, block_params, H, x,
+                                       cache['k'][layer], cache['v'][layer], n)
+        new_k = new_k.at[layer, :, :, n].set(kh)
+        new_v = new_v.at[layer, :, :, n].set(vh)
+    return {'k': new_k, 'v': new_v, 'n': n + 1}
+
+
+def generate_frame(model, params, cache, query_pose):
+    """Generate the query frame against the cached context: query_pose [B, 7]
+    -> logits [B, h, w, n_embeddings]. The cache is unchanged (generated
+    frames are not context unless explicitly appended after decoding)."""
+    cfg = model.config
+    H = cfg.n_head
+    L = cfg.token_image_size ** 2
+    x = _frame_embeddings(model, params, None, query_pose, is_mask_frame=True)
+    x = jnp.broadcast_to(x, (query_pose.shape[0], L, cfg.d_model))
+    n = cache['n']
+    for layer in range(cfg.n_layer):
+        block_params = params[f'h_{layer}']
+        x, _, _ = _block_incremental(model, block_params, H, x,
+                                     cache['k'][layer], cache['v'][layer], n)
+    ln_f = params['ln_f']
+    x = _layer_norm(x, ln_f['scale'], ln_f['bias'])
+    logits = jnp.einsum('bld,vd->blv', x.astype(jnp.float32),
+                        params['wte']['embedding'][:cfg.n_embeddings].astype(jnp.float32))
+    grid = (cfg.token_image_size, cfg.token_image_size)
+    return logits.reshape((x.shape[0],) + grid + (cfg.n_embeddings,))

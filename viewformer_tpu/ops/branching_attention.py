@@ -104,6 +104,101 @@ def branch_attention(q_branches, k0, v0, k_branches, v_branches,
     return out
 
 
+def block_attention(q, k, v, dropout_rate=0.0, dropout_rng=None):
+    """Non-causal full block attention (ref branching_attention.py:64-79):
+    every token attends every frame. q/k/v: [B, H, T, L, dh]."""
+    B, H, T, L, dh = q.shape
+    qf = q.reshape(B, H, T * L, dh)
+    kf = k.reshape(B, H, T * L, dh)
+    vf = v.reshape(B, H, T * L, dh)
+    scores = jnp.einsum('bhqd,bhkd->bhqk', qf, kf, preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(scores, axis=-1)
+    weights = _dropout(weights, dropout_rate, dropout_rng)
+    out = jnp.einsum('bhqk,bhkd->bhqd', weights.astype(vf.dtype), vf)
+    return out.reshape(B, H, T, L, dh)
+
+
+def multi_end_block_attention_noncausal(kset, vset, qset, dropout_rate=0.0,
+                                        dropout_rng=None):
+    """Non-causal multi-end variant (ref branching_attention.py:129-173):
+    stream 0 attends everything; branch frames attend all OTHER stream-0
+    frames plus their own frame's branch block, jointly softmaxed."""
+    rng0 = rng1 = None
+    if dropout_rng is not None:
+        rng0, rng1 = jax.random.split(dropout_rng)
+    out0 = block_attention(qset[0], kset[0], vset[0], dropout_rate, rng0)
+    outputs = (out0,)
+    if len(qset) > 1:
+        B, H, T, L, dh = qset[0].shape
+        frames = _frame_ids(T, L)
+        # mask: stream-0 frames != own frame
+        allowed = frames[:, None] != frames[None, :]
+        bias = jnp.where(allowed, 0.0, _NEG_INF).astype(jnp.float32)
+        qb = jnp.stack(qset[1:], 0)
+        kb = jnp.stack(kset[1:], 0)
+        vb = jnp.stack(vset[1:], 0)
+        S = qb.shape[0]
+        qf = qb.reshape(S, B, H, T * L, dh)
+        k0f = kset[0].reshape(B, H, T * L, dh)
+        v0f = vset[0].reshape(B, H, T * L, dh)
+        scores_old = jnp.einsum('sbhqd,bhkd->sbhqk', qf, k0f,
+                                preferred_element_type=jnp.float32) + bias
+        scores_new = jnp.einsum('sbhtld,sbhtmd->sbhtlm', qb, kb,
+                                preferred_element_type=jnp.float32)
+        joint = jnp.concatenate(
+            [scores_old.reshape(S, B, H, T, L, T * L), scores_new], -1)
+        weights = jax.nn.softmax(joint, axis=-1)
+        weights = _dropout(weights, dropout_rate, rng1)
+        w_old = weights[..., :T * L].reshape(S, B, H, T * L, T * L).astype(v0f.dtype)
+        w_new = weights[..., T * L:].astype(vb.dtype)
+        outs = jnp.einsum('sbhqk,bhkd->sbhqd', w_old, v0f).reshape(S, B, H, T, L, dh)
+        outs = outs + jnp.einsum('sbhtlm,sbhtmd->sbhtld', w_new, vb)
+        outputs = outputs + tuple(outs[i] for i in range(S))
+    return outputs
+
+
+def causal_attention(q, k, v, dropout_rate=0.0, dropout_rng=None):
+    """Plain per-token causal attention including self
+    (ref branching_attention.py:21-38). q/k/v: [B, H, T, dh]."""
+    T = q.shape[-2]
+    i = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    bias = jnp.where(i >= j, 0.0, _NEG_INF).astype(jnp.float32)
+    scores = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                        preferred_element_type=jnp.float32) + bias
+    weights = jax.nn.softmax(scores, axis=-1)
+    weights = _dropout(weights, dropout_rate, dropout_rng)
+    return jnp.einsum('bhqk,bhkd->bhqd', weights.astype(v.dtype), v)
+
+
+def multi_end_causal_attention(kset, vset, qset, dropout_rate=0.0, dropout_rng=None):
+    """Per-token causal multi-end variant (ref branching_attention.py:176-217):
+    branch token t attends stream-0 tokens < t plus its OWN single token."""
+    rng0 = rng1 = None
+    if dropout_rng is not None:
+        rng0, rng1 = jax.random.split(dropout_rng)
+    out0 = causal_attention(qset[0], kset[0], vset[0], dropout_rate, rng0)
+    outputs = (out0,)
+    if len(qset) > 1:
+        T = qset[0].shape[-2]
+        i = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        bias = jnp.where(i > j, 0.0, _NEG_INF).astype(jnp.float32)
+        for k_new, v_new, q in zip(kset[1:], vset[1:], qset[1:]):
+            scores_old = jnp.einsum('bhqd,bhkd->bhqk', q, kset[0],
+                                    preferred_element_type=jnp.float32) + bias
+            scores_new = jnp.sum(q.astype(jnp.float32) * k_new.astype(jnp.float32),
+                                 -1, keepdims=True)
+            joint = jnp.concatenate([scores_old, scores_new], -1)
+            weights = jax.nn.softmax(joint, axis=-1)
+            weights = _dropout(weights, dropout_rate, rng1)
+            out = jnp.einsum('bhqk,bhkd->bhqd',
+                             weights[..., :T].astype(vset[0].dtype), vset[0])
+            out = out + weights[..., T:].astype(v_new.dtype) * v_new
+            outputs = outputs + (out,)
+    return outputs
+
+
 def multi_end_block_attention(kset, vset, qset, dropout_rate=0.0, dropout_rng=None,
                               use_fused='auto'):
     """Full branching attention over a list of streams.
