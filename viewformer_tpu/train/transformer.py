@@ -238,6 +238,28 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
     eval_step = make_transformer_eval_step(model, config)
     logger = MetricLogger(job_dir, hparams=config.asdict(), use_wandb=wandb)
 
+    # optional codebook for validation PSNR + image grids (the reference
+    # attaches the codebook model for test_step PSNR, ref migt.py:507-530)
+    decode_val = None
+    if codebook_path is not None:
+        from ..models import load_model as _load_model
+        codebook_model, codebook_vars = _load_model(codebook_path)
+        cvars = {'params': codebook_vars['params'],
+                 'quantizer': codebook_vars['quantizer']}
+
+        @jax.jit
+        def decode_val(cvars, logits, tokens):
+            generated = jnp.argmax(logits[:, -1], -1)
+            gen_images = codebook_model.apply(cvars, generated,
+                                              method=type(codebook_model).decode_code)
+            gt_images = codebook_model.apply(cvars, tokens[:, -1],
+                                             method=type(codebook_model).decode_code)
+            gen = jnp.clip(gen_images.astype(jnp.float32) / 2 + 0.5, 0, 1)
+            gt = jnp.clip(gt_images.astype(jnp.float32) / 2 + 0.5, 0, 1)
+            mse = jnp.mean((gen - gt) ** 2, axis=(-3, -2, -1))
+            psnr = jnp.mean(-10.0 * jnp.log10(jnp.maximum(mse, 1e-10)))
+            return psnr, (gen * 255).astype(jnp.uint8)
+
     transform = functools.partial(process_batch, augment=config.augment_poses)
     train_iter = iter(load_token_dataset(
         dataset_path, batch_size, config.sequence_size, config.token_image_size,
@@ -276,9 +298,15 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
                 if i >= validation_steps:
                     break
                 batch = mesh_lib.shard_batch(mesh, batch)
-                metrics, _ = eval_step(state, batch)
+                metrics, logits = eval_step(state, batch)
                 for k, v in jax.device_get(metrics).items():
                     val_metrics.setdefault(k, []).append(float(v))
+                if decode_val is not None:
+                    psnr, gen_images = decode_val(cvars, logits, batch[1])
+                    val_metrics.setdefault('psnr', []).append(float(psnr))
+                    if i == 0:
+                        logger.log_images(step, np.asarray(jax.device_get(gen_images)),
+                                          tag='generated')
             val_metrics = {k: float(np.mean(v)) for k, v in val_metrics.items()}
             if val_metrics:
                 logger.log(step, val_metrics, prefix='val')
