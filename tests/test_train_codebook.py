@@ -91,3 +91,21 @@ def test_train_codebook_end_to_end(tmp_path):
     state2 = train_codebook(cfg2, str(tmp_path / 'ds'), job_dir, epochs=2,
                             use_bf16=False, progress=False, num_val_batches=1)
     assert int(state2.step) == 8
+
+
+def test_remat_matches_no_remat():
+    """Rematerialized towers must give identical losses/grads."""
+    optimizer = create_codebook_optimizer(TINY)
+    _, state = init_codebook_state(TINY, jax.random.PRNGKey(0), optimizer)
+    model_r, state_r = init_codebook_state(TINY, jax.random.PRNGKey(0), optimizer,
+                                           remat=True)
+    model_n, _ = init_codebook_state(TINY, jax.random.PRNGKey(0), optimizer)
+    step_r = make_codebook_train_step(model_r, TINY, optimizer, donate=False)
+    step_n = make_codebook_train_step(model_n, TINY, optimizer, donate=False)
+    batch = jnp.asarray(np.random.RandomState(0).rand(4, 16, 16, 3) * 2 - 1, jnp.float32)
+    out_r, metrics_r = step_r(state_r, batch)
+    out_n, metrics_n = step_n(state, batch)
+    np.testing.assert_allclose(float(metrics_r['total_loss']),
+                               float(metrics_n['total_loss']), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(out_r.params), jax.tree.leaves(out_n.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

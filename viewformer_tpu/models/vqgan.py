@@ -11,7 +11,9 @@ jax implementation replaces the reference's torch/tf twin pair:
 
 Compute dtype is configurable (bf16 on TPU); parameters stay float32. The EMA
 quantizer is a pure function over an explicit state pytree (ops/quantizer.py)
-carried in the train state rather than hidden module variables.
+carried in the train state rather than hidden module variables. remat=True
+rematerializes Resnet/Attn blocks in the backward pass (jax.checkpoint) so
+the reference's global batch 352 @128px fits one chip's HBM.
 """
 from typing import Sequence
 
@@ -110,26 +112,29 @@ class Encoder(nn.Module):
     image_size: int
     dtype: jnp.dtype = jnp.float32
     precision: object = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
+        ResnetBlock_ = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        AttnBlock_ = nn.remat(AttnBlock) if self.remat else AttnBlock
         h = nn.Conv(self.ch, (3, 3), dtype=self.dtype, precision=self.precision, name='conv_in')(x)
         curr_res = self.image_size
         num_levels = len(self.ch_mult)
         for i_level in range(num_levels):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks):
-                h = ResnetBlock(block_out, dtype=self.dtype, precision=self.precision,
+                h = ResnetBlock_(block_out, dtype=self.dtype, precision=self.precision,
                                 name=f'down_{i_level}_block_{i_block}')(h)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=self.dtype, precision=self.precision,
+                    h = AttnBlock_(dtype=self.dtype, precision=self.precision,
                                   name=f'down_{i_level}_attn_{i_block}')(h)
             if i_level != num_levels - 1:
                 h = Downsample(dtype=self.dtype, precision=self.precision, name=f'down_{i_level}_downsample')(h)
                 curr_res //= 2
-        h = ResnetBlock(h.shape[-1], dtype=self.dtype, precision=self.precision, name='mid_block_1')(h)
-        h = AttnBlock(dtype=self.dtype, precision=self.precision, name='mid_attn_1')(h)
-        h = ResnetBlock(h.shape[-1], dtype=self.dtype, precision=self.precision, name='mid_block_2')(h)
+        h = ResnetBlock_(h.shape[-1], dtype=self.dtype, precision=self.precision, name='mid_block_1')(h)
+        h = AttnBlock_(dtype=self.dtype, precision=self.precision, name='mid_attn_1')(h)
+        h = ResnetBlock_(h.shape[-1], dtype=self.dtype, precision=self.precision, name='mid_block_2')(h)
         h = GroupNorm32(name='norm_out')(h)
         h = swish(h)
         return nn.Conv(self.z_channels, (3, 3), dtype=self.dtype, precision=self.precision, name='conv_out')(h)
@@ -144,23 +149,26 @@ class Decoder(nn.Module):
     image_size: int
     dtype: jnp.dtype = jnp.float32
     precision: object = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, z):
+        ResnetBlock_ = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        AttnBlock_ = nn.remat(AttnBlock) if self.remat else AttnBlock
         num_levels = len(self.ch_mult)
         block_in = self.ch * self.ch_mult[num_levels - 1]
         curr_res = self.image_size // 2 ** (num_levels - 1)
         h = nn.Conv(block_in, (3, 3), dtype=self.dtype, precision=self.precision, name='conv_in')(z)
-        h = ResnetBlock(block_in, dtype=self.dtype, precision=self.precision, name='mid_block_1')(h)
-        h = AttnBlock(dtype=self.dtype, precision=self.precision, name='mid_attn_1')(h)
-        h = ResnetBlock(block_in, dtype=self.dtype, precision=self.precision, name='mid_block_2')(h)
+        h = ResnetBlock_(block_in, dtype=self.dtype, precision=self.precision, name='mid_block_1')(h)
+        h = AttnBlock_(dtype=self.dtype, precision=self.precision, name='mid_attn_1')(h)
+        h = ResnetBlock_(block_in, dtype=self.dtype, precision=self.precision, name='mid_block_2')(h)
         for i_level in reversed(range(num_levels)):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks + 1):
-                h = ResnetBlock(block_out, dtype=self.dtype, precision=self.precision,
+                h = ResnetBlock_(block_out, dtype=self.dtype, precision=self.precision,
                                 name=f'up_{i_level}_block_{i_block}')(h)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(dtype=self.dtype, precision=self.precision,
+                    h = AttnBlock_(dtype=self.dtype, precision=self.precision,
                                   name=f'up_{i_level}_attn_{i_block}')(h)
             if i_level != 0:
                 h = Upsample(dtype=self.dtype, precision=self.precision, name=f'up_{i_level}_upsample')(h)
@@ -178,6 +186,7 @@ class VQGAN(nn.Module):
     config: VQGANConfig
     dtype: jnp.dtype = jnp.float32
     precision: object = None
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
@@ -185,11 +194,13 @@ class VQGAN(nn.Module):
                                num_res_blocks=cfg.num_res_blocks,
                                attn_resolutions=tuple(cfg.attn_resolutions),
                                z_channels=cfg.z_channels, image_size=cfg.image_size,
-                               dtype=self.dtype, precision=self.precision)
+                               dtype=self.dtype, precision=self.precision,
+                               remat=self.remat)
         self.decoder = Decoder(ch=cfg.ch, out_ch=cfg.out_ch, ch_mult=tuple(cfg.ch_mult),
                                num_res_blocks=cfg.num_res_blocks,
                                attn_resolutions=tuple(cfg.attn_resolutions),
-                               image_size=cfg.image_size, dtype=self.dtype, precision=self.precision)
+                               image_size=cfg.image_size, dtype=self.dtype,
+                               precision=self.precision, remat=self.remat)
         self.quant_conv = nn.Conv(cfg.embed_dim, (1, 1), dtype=self.dtype, precision=self.precision, name='quant_conv')
         self.post_quant_conv = nn.Conv(cfg.z_channels, (1, 1), dtype=self.dtype,
                                        precision=self.precision, name='post_quant_conv')

@@ -39,12 +39,12 @@ def create_codebook_optimizer(config, accumulate_grad_batches=1):
     return tx
 
 
-def create_codebook_model(config, dtype=jnp.float32):
-    return VQGAN(config, dtype=dtype)
+def create_codebook_model(config, dtype=jnp.float32, remat=False):
+    return VQGAN(config, dtype=dtype, remat=remat)
 
 
-def init_codebook_state(config, rng, optimizer, dtype=jnp.float32):
-    model = create_codebook_model(config, dtype)
+def init_codebook_state(config, rng, optimizer, dtype=jnp.float32, remat=False):
+    model = create_codebook_model(config, dtype, remat=remat)
     dummy = jnp.zeros((1, config.image_size, config.image_size, config.in_channels), jnp.float32)
     params_rng, quantizer_rng = jax.random.split(rng)
     variables = model.init({'params': params_rng, 'quantizer': quantizer_rng},
@@ -121,7 +121,7 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
                    accumulate_grad_batches=1, resume=True, seed=42,
                    use_bf16=True, wandb=False, log_every=50,
                    num_val_batches=8, mesh=None, progress=True,
-                   profile_batch=50):
+                   profile_batch=50, remat=True):
     """Full training loop (CLI entry `train codebook`)."""
     from ..data.pipeline import load_image_dataset
     from ..models.lpips import load_lpips
@@ -135,7 +135,8 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
 
     dtype = jnp.bfloat16 if use_bf16 else jnp.float32
     optimizer = create_codebook_optimizer(config, accumulate_grad_batches)
-    model, state = init_codebook_state(config, jax.random.PRNGKey(seed), optimizer, dtype)
+    model, state = init_codebook_state(config, jax.random.PRNGKey(seed), optimizer,
+                                       dtype, remat=remat)
 
     lpips = load_lpips('vgg') if config.perceptual_weight > 0 else None
     lpips_params = lpips._params if lpips is not None else None
