@@ -47,8 +47,12 @@ def init_codebook_state(config, rng, optimizer, dtype=jnp.float32, remat=False):
     model = create_codebook_model(config, dtype, remat=remat)
     dummy = jnp.zeros((1, config.image_size, config.image_size, config.in_channels), jnp.float32)
     params_rng, quantizer_rng = jax.random.split(rng)
-    variables = model.init({'params': params_rng, 'quantizer': quantizer_rng},
-                           dummy, training=False)
+    # init on CPU: initializing on the accelerator compiles the whole forward
+    # just to draw random numbers (minutes at full size through the tunnel)
+    with jax.default_device(jax.local_devices(backend='cpu')[0]):
+        variables = model.init({'params': params_rng, 'quantizer': quantizer_rng},
+                               dummy, training=False)
+    variables = jax.device_put(variables, jax.devices()[0])
     params = variables['params']
     quantizer = variables['quantizer']
     opt_state = optimizer.init(params)

@@ -132,7 +132,10 @@ def init_transformer_state(config, rng, optimizer, dtype=jnp.float32):
     poses = jnp.zeros((1, config.sequence_size, 7), jnp.float32)
     tokens = jnp.zeros((1, config.sequence_size, config.token_image_size,
                         config.token_image_size), jnp.int32)
-    variables = model.init(rng, poses, tokens, compute_losses=True)
+    # init on CPU (see init_codebook_state note)
+    with jax.default_device(jax.local_devices(backend='cpu')[0]):
+        variables = model.init(rng, poses, tokens, compute_losses=True)
+    variables = jax.device_put(variables, jax.devices()[0])
     params = variables['params']
     opt_state = optimizer.init(params)
     return model, TransformerTrainState(params, opt_state, jnp.zeros((), jnp.int32))
