@@ -71,11 +71,27 @@ def _build_loader(name, loader_kwargs, split=None, image_size=None, **extra):
 @click.option('--platform', default=None,
               help='jax platform override (cpu|tpu|axon). Needed because the '
                    'axon plugin ignores the JAX_PLATFORMS env var.')
-def main(platform):
+@click.option('--coordinator', default=None,
+              help='multi-host: coordinator address host:port '
+                   '(jax.distributed.initialize)')
+@click.option('--num-processes', type=int, default=None, help='multi-host: world size')
+@click.option('--process-id', type=int, default=None, help='multi-host: this process rank')
+def main(platform, coordinator, num_processes, process_id):
     """viewformer-tpu command line interface."""
+    import os
+
+    import jax
     if platform:
-        import jax
         jax.config.update('jax_platforms', platform)
+    # persistent XLA compile cache: full-size train-step compiles are slow
+    # (minutes); reruns and resumes hit the cache
+    cache_dir = os.path.expanduser('~/.cache/viewformer_tpu/xla_cache')
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+    if num_processes and num_processes > 1:
+        from .parallel import initialize_distributed
+        initialize_distributed(coordinator, num_processes, process_id)
 
 
 # ---------------------------------------------------------------------------
