@@ -11,9 +11,14 @@ import numpy as np
 
 def visualize_dataset(loader, output=None, max_sequences=4):
     import matplotlib
-    if output is not None or not os.environ.get('DISPLAY'):
-        matplotlib.use('Agg')
-        output = output or 'dataset_preview.png'
+    if output is None and os.environ.get('DISPLAY'):
+        # interactive keyboard-navigated browser (ref utils/visualization.py)
+        from ..utils.visualization import (InteractiveViewer,
+                                           render_sequence_with_poses)
+        return InteractiveViewer(loader, render_sequence_with_poses,
+                                 title='dataset').show()
+    matplotlib.use('Agg')
+    output = output or 'dataset_preview.png'
     import matplotlib.pyplot as plt
 
     n = min(len(loader), max_sequences)

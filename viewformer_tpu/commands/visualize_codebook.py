@@ -51,6 +51,19 @@ def visualize_codebook(loader, codebook_checkpoint, output=None, num_images=16):
         print(f'Wrote reconstruction grid to {output}')
         return output
 
+    import os
+    if os.environ.get('DISPLAY'):
+        # interactive original-vs-reconstruction browser
+        from ..utils.visualization import InteractiveViewer, render_reconstruction_pair
+
+        def reconstruct(frames):
+            pred = generate_batch_predictions(model, variables, frames)
+            return pred['generated_images']
+        return InteractiveViewer(loader, render_reconstruction_pair(reconstruct),
+                                 title='codebook').show()
+
+    import matplotlib
+    matplotlib.use('Agg')
     import matplotlib.pyplot as plt
     plt.figure(figsize=(12, 12))
     plt.imshow(grid)
