@@ -109,3 +109,26 @@ def test_remat_matches_no_remat():
                                float(metrics_n['total_loss']), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(out_r.params), jax.tree.leaves(out_n.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_multi_step_matches_sequential():
+    """k scanned steps == k sequential steps (same batches)."""
+    from viewformer_tpu.train.codebook import make_codebook_multi_step
+    optimizer = create_codebook_optimizer(TINY)
+    model, state = init_codebook_state(TINY, jax.random.PRNGKey(0), optimizer)
+    _, state_m = init_codebook_state(TINY, jax.random.PRNGKey(0), optimizer)
+    single = make_codebook_train_step(model, TINY, optimizer, donate=False)
+    multi = make_codebook_multi_step(model, TINY, optimizer, donate=False)
+    rng = np.random.RandomState(0)
+    batches = jnp.asarray(rng.rand(3, 4, 16, 16, 3) * 2 - 1, jnp.float32)
+    for i in range(3):
+        state, m_seq = single(state, batches[i])
+    state_m, m_scan = multi(state_m, batches)
+    assert int(state_m.step) == 3
+    np.testing.assert_allclose(float(m_scan['total_loss']), float(m_seq['total_loss']),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state_m.params)):
+        # scan vs unrolled reduction order; near-zero-grad leaves amplify noise
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(state.quantizer['embeddings']),
+                               np.asarray(state_m.quantizer['embeddings']), atol=1e-4)

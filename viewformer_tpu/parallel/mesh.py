@@ -49,22 +49,22 @@ def create_mesh_for_batch(batch_size, model_parallelism=1, devices=None):
     return create_mesh(data, model_parallelism, devices[:data * model_parallelism])
 
 
-def data_sharding(mesh):
-    """Batch-dim sharding over the data axis."""
-    return NamedSharding(mesh, P('data'))
+def data_sharding(mesh, batch_dim=0):
+    """Sharding with `batch_dim` split over the data axis."""
+    return NamedSharding(mesh, P(*([None] * batch_dim + ['data'])))
 
 
 def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh, batch):
-    """Place a host-local numpy batch onto the mesh, sharded on dim 0.
+def shard_batch(mesh, batch, batch_dim=0):
+    """Place a host-local numpy batch onto the mesh, sharded on `batch_dim`.
 
     Single-process: a plain device_put with a sharded layout. Multi-process:
     assembles the global array from per-host shards
     (jax.make_array_from_process_local_data)."""
-    sharding = data_sharding(mesh)
+    sharding = data_sharding(mesh, batch_dim)
     if jax.process_count() == 1:
         return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
     return jax.tree.map(

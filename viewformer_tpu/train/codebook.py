@@ -96,6 +96,31 @@ def make_codebook_train_step(model, config, optimizer, lpips_params=None, donate
     return train_step
 
 
+def make_codebook_multi_step(model, config, optimizer, lpips_params=None, donate=True):
+    """Scan k train steps inside ONE jitted call over stacked batches
+    [k, B, H, W, C]. Amortizes per-step dispatch (and, under the axon dev
+    tunnel, avoids the pathological state round-trip on threading — see
+    CLAUDE.md); on real hardware it hides dispatch latency the same way."""
+    def one_step(carry, batch):
+        state = carry
+        grad_fn = jax.value_and_grad(
+            functools.partial(codebook_loss_fn, model, config, lpips_params),
+            has_aux=True)
+        (loss, (metrics, new_quantizer)), grads = grad_fn(state.params, state.quantizer, batch)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = CodebookTrainState(new_params, new_quantizer, new_opt_state,
+                                       state.step + 1)
+        return new_state, metrics
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def multi_step(state, batches):
+        new_state, metrics = jax.lax.scan(one_step, state, batches)
+        return new_state, jax.tree.map(lambda x: x[-1], metrics)
+
+    return multi_step
+
+
 def make_codebook_eval_step(model, config, lpips_params=None):
     @jax.jit
     def eval_step(state, batch):
@@ -125,7 +150,7 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
                    accumulate_grad_batches=1, resume=True, seed=42,
                    use_bf16=True, wandb=False, log_every=50,
                    num_val_batches=8, mesh=None, progress=True,
-                   profile_batch=50, remat=True):
+                   profile_batch=50, remat=True, steps_per_call=1):
     """Full training loop (CLI entry `train codebook`)."""
     from ..data.pipeline import load_image_dataset
     from ..models.lpips import load_lpips
@@ -154,7 +179,14 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
             start_step = int(step)
 
     state = mesh_lib.replicate(mesh, state)
-    train_step = make_codebook_train_step(model, config, optimizer, lpips_params)
+    if steps_per_call > 1:
+        multi_step = make_codebook_multi_step(model, config, optimizer, lpips_params)
+
+        def train_step(state, batch):  # batch: list of k host batches
+            stacked = np.stack(batch, 0)
+            return multi_step(state, mesh_lib.shard_batch(mesh, stacked, batch_dim=1))
+    else:
+        train_step = make_codebook_train_step(model, config, optimizer, lpips_params)
     eval_step = make_codebook_eval_step(model, config, lpips_params)
 
     logger = MetricLogger(job_dir, hparams=config.asdict(), use_wandb=wandb)
@@ -167,16 +199,28 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
         while step < total_steps:
             epoch_end = min(step + steps_per_epoch, total_steps)
             while step < epoch_end:
-                batch = mesh_lib.shard_batch(mesh, next(train_iter))
-                # profiler trace window around step `profile_batch`
-                # (ref TensorBoard profile_batch=50 hook, train_transformer.py:94-97)
-                if profile_batch and step == profile_batch - 1:
-                    jax.profiler.start_trace(os.path.join(job_dir, 'profile'))
-                state, metrics = train_step(state, batch)
-                step += 1
-                if profile_batch and step == profile_batch + 1:
-                    jax.tree.map(lambda x: x.block_until_ready(), metrics)
-                    jax.profiler.stop_trace()
+                if steps_per_call > 1:
+                    k = min(steps_per_call, epoch_end - step)
+                    if k < steps_per_call:
+                        # tail smaller than the scan length: pad by repeating
+                        batches = [next(train_iter) for _ in range(k)]
+                        batches += [batches[-1]] * (steps_per_call - k)
+                        step -= steps_per_call - k  # padded repeats still count
+                    else:
+                        batches = [next(train_iter) for _ in range(steps_per_call)]
+                    state, metrics = train_step(state, batches)
+                    step += steps_per_call
+                else:
+                    batch = mesh_lib.shard_batch(mesh, next(train_iter))
+                    # profiler trace window around step `profile_batch`
+                    # (ref TensorBoard profile_batch=50 hook)
+                    if profile_batch and step == profile_batch - 1:
+                        jax.profiler.start_trace(os.path.join(job_dir, 'profile'))
+                    state, metrics = train_step(state, batch)
+                    step += 1
+                    if profile_batch and step == profile_batch + 1:
+                        jax.tree.map(lambda x: x.block_until_ready(), metrics)
+                        jax.profiler.stop_trace()
                 if step % log_every == 0 or step == total_steps:
                     logger.log(step, jax.device_get(metrics))
                     if progress:

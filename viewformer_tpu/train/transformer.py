@@ -178,6 +178,44 @@ def make_transformer_train_step(model, config, optimizer, donate=True):
     return train_step
 
 
+def make_transformer_multi_step(model, config, optimizer, donate=True):
+    """Scan k train steps in one jitted call over stacked batches
+    (poses [k,B,S,7], tokens [k,B,S,h,w]) — amortizes dispatch and avoids the
+    axon tunnel's state-threading round trip (see CLAUDE.md)."""
+    def one_step(carry, batch):
+        state, rng = carry
+        poses, tokens = batch
+        dropout_rng, pose_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            out = model.apply({'params': params}, poses, tokens,
+                              compute_losses=True, deterministic=False,
+                              step=state.step,
+                              rngs={'dropout': dropout_rng, 'pose_noise': pose_rng})
+            return jnp.mean(out['loss']), out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {'loss': loss, 'ce_loss': jnp.mean(out['ce_loss']),
+                   'acc': _accuracy(tokens.reshape(tokens.shape[0], tokens.shape[1], -1),
+                                    out['logits'].reshape(tokens.shape[0], tokens.shape[1], -1,
+                                                          config.n_embeddings),
+                                    config.n_loss_skip)}
+        for key in ('pose_loss', 'pose_pos_loss', 'pose_ori_loss', 'localization_weight'):
+            if key in out:
+                metrics[key] = jnp.mean(out[key])
+        new_state = TransformerTrainState(new_params, new_opt_state, state.step + 1)
+        return (new_state, rng), metrics
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def multi_step(state, batches, rng):
+        (new_state, _), metrics = jax.lax.scan(one_step, (state, rng), batches)
+        return new_state, jax.tree.map(lambda x: x[-1], metrics)
+
+    return multi_step
+
+
 def make_transformer_eval_step(model, config):
     @jax.jit
     def eval_step(state, batch):
@@ -202,7 +240,7 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
                       batch_size=None, resume=True, finetune_from=None,
                       seed=42, use_bf16=True, wandb=False, log_every=50,
                       max_samples_per_environment=-1, mesh=None, progress=True,
-                      profile_batch=50):
+                      profile_batch=50, steps_per_call=1):
     """Full training loop (CLI `train transformer` / `train finetune-transformer`).
 
     finetune_from: a job dir whose best/last checkpoint seeds the params while
@@ -237,7 +275,15 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
             start_step = int(step)
 
     state = mesh_lib.replicate(mesh, state)
-    train_step = make_transformer_train_step(model, config, optimizer)
+    if steps_per_call > 1:
+        multi_step = make_transformer_multi_step(model, config, optimizer)
+
+        def train_step(state, batches, rng):  # batches: list of k host batches
+            stacked = (np.stack([b[0] for b in batches], 0),
+                       np.stack([b[1] for b in batches], 0))
+            return multi_step(state, mesh_lib.shard_batch(mesh, stacked, batch_dim=1), rng)
+    else:
+        train_step = make_transformer_train_step(model, config, optimizer)
     eval_step = make_transformer_eval_step(model, config)
     logger = MetricLogger(job_dir, hparams=config.asdict(), use_wandb=wandb)
 
@@ -277,14 +323,23 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
         while step < total_steps:
             epoch_end = min(step + steps_per_epoch, total_steps)
             while step < epoch_end:
-                batch = mesh_lib.shard_batch(mesh, next(train_iter))
-                if profile_batch and step == profile_batch - 1:
-                    jax.profiler.start_trace(os.path.join(job_dir, 'profile'))
-                state, metrics = train_step(state, batch, rng)
-                step += 1
-                if profile_batch and step == profile_batch + 1:
-                    jax.tree.map(lambda x: x.block_until_ready(), metrics)
-                    jax.profiler.stop_trace()
+                if steps_per_call > 1:
+                    k = min(steps_per_call, epoch_end - step)
+                    batches = [next(train_iter) for _ in range(k)]
+                    if k < steps_per_call:
+                        batches += [batches[-1]] * (steps_per_call - k)
+                        step -= steps_per_call - k
+                    state, metrics = train_step(state, batches, rng)
+                    step += steps_per_call
+                else:
+                    batch = mesh_lib.shard_batch(mesh, next(train_iter))
+                    if profile_batch and step == profile_batch - 1:
+                        jax.profiler.start_trace(os.path.join(job_dir, 'profile'))
+                    state, metrics = train_step(state, batch, rng)
+                    step += 1
+                    if profile_batch and step == profile_batch + 1:
+                        jax.tree.map(lambda x: x.block_until_ready(), metrics)
+                        jax.profiler.stop_trace()
                 if step % log_every == 0 or step == total_steps:
                     m = jax.device_get(metrics)
                     logger.log(step, m)
