@@ -185,11 +185,14 @@ def _config_from_options(config_cls, options):
 @click.option('--gradient-clip-val', type=float, default=None)
 @click.option('--accumulate-grad-batches', type=int, default=1)
 @click.option('--perceptual-weight', type=float, default=None)
+@click.option('--steps-per-call', type=int, default=1,
+              help='scan k train steps inside one jitted call')
 @click.option('--fp32', is_flag=True, help='disable bf16 compute')
 @click.option('--wandb', is_flag=True)
 @click.option('--resume/--no-resume', default=True)
 def train_codebook_cmd(dataset_path, job_dir, total_steps, epochs, batch_size,
-                       accumulate_grad_batches, fp32, wandb, resume, **config_options):
+                       accumulate_grad_batches, steps_per_call, fp32, wandb, resume,
+                       **config_options):
     """Train the VQ-GAN codebook (stage 1)."""
     from .config import VQGANConfig
     from .train.codebook import train_codebook
@@ -201,6 +204,7 @@ def train_codebook_cmd(dataset_path, job_dir, total_steps, epochs, batch_size,
     train_codebook(config, dataset_path, job_dir, total_steps=config.total_steps,
                    epochs=epochs, batch_size=config.batch_size,
                    accumulate_grad_batches=accumulate_grad_batches,
+                   steps_per_call=steps_per_call,
                    resume=resume, use_bf16=not fp32, wandb=wandb)
 
 
@@ -227,12 +231,14 @@ def train_codebook_cmd(dataset_path, job_dir, total_steps, epochs, batch_size,
 @click.option('--gradient-clip-val', type=float, default=None)
 @click.option('--dropout', type=float, default=None)
 @click.option('--max-samples-per-environment', type=int, default=-1)
+@click.option('--steps-per-call', type=int, default=1,
+              help='scan k train steps inside one jitted call')
 @click.option('--fp32', is_flag=True)
 @click.option('--wandb', is_flag=True)
 @click.option('--resume/--no-resume', default=True)
 def train_transformer_cmd(dataset_path, codebook_model, job_dir, total_steps, epochs,
-                          batch_size, max_samples_per_environment, fp32, wandb, resume,
-                          **config_options):
+                          batch_size, max_samples_per_environment, steps_per_call,
+                          fp32, wandb, resume, **config_options):
     """Train the MIGT transformer (stage 2)."""
     from .config import MIGTConfig, load_config
     from .train.transformer import train_transformer
@@ -246,7 +252,7 @@ def train_transformer_cmd(dataset_path, codebook_model, job_dir, total_steps, ep
     train_transformer(config, dataset_path, job_dir, codebook_path=codebook_model,
                       total_steps=config.total_steps, epochs=epochs,
                       batch_size=config.batch_size, resume=resume,
-                      use_bf16=not fp32, wandb=wandb,
+                      use_bf16=not fp32, wandb=wandb, steps_per_call=steps_per_call,
                       max_samples_per_environment=max_samples_per_environment)
 
 

@@ -41,11 +41,26 @@ LAYER_NORM_EPS = 1e-5
 WPE_STATIC_SIZE = 256
 
 
+def _maybe_dropout(module, x, rate, deterministic, impl):
+    """Dropout with selectable noise implementation: 'rng' (jax.random,
+    default) or 'hash' (ops/dropout.py — RNG-primitive-free, for backends
+    whose compiler rejects RNG in large backward graphs)."""
+    if rate <= 0 or deterministic:
+        return x
+    key = module.make_rng('dropout')
+    if impl == 'hash':
+        from ..ops.dropout import hash_dropout
+        return hash_dropout(key, x, rate)
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros((), x.dtype))
+
+
 class MLP(nn.Module):
     d_inner: int
     d_output: int
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    dropout_impl: str = 'rng'
 
     @nn.compact
     def __call__(self, x, deterministic=True):
@@ -54,8 +69,7 @@ class MLP(nn.Module):
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.d_output, dtype=self.dtype,
                      kernel_init=nn.initializers.truncated_normal(0.02), name='c_proj')(h)
-        if self.dropout > 0:
-            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = _maybe_dropout(self, h, self.dropout, deterministic, self.dropout_impl)
         return h
 
 
@@ -64,6 +78,7 @@ class BranchingAttention(nn.Module):
     n_head: int
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    dropout_impl: str = 'rng'
 
     @nn.compact
     def __call__(self, streams, deterministic=True):
@@ -90,7 +105,8 @@ class BranchingAttention(nn.Module):
             dropout_rng = self.make_rng('dropout')
         outs = multi_end_block_attention(tuple(ks), tuple(vs), tuple(qs),
                                          dropout_rate=0.0 if deterministic else self.dropout,
-                                         dropout_rng=dropout_rng)
+                                         dropout_rng=dropout_rng,
+                                         dropout_impl=self.dropout_impl)
 
         def merge_heads(x):  # [B, H, T, L, dh] -> [B, T, L, d]
             B, H, T, L, _ = x.shape
@@ -99,8 +115,7 @@ class BranchingAttention(nn.Module):
         outputs = []
         for out in outs:
             y = c_proj(merge_heads(out).astype(self.dtype))
-            if self.dropout > 0:
-                y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+            y = _maybe_dropout(self, y, self.dropout, deterministic, self.dropout_impl)
             outputs.append(y)
         return outputs
 
@@ -110,15 +125,17 @@ class Block(nn.Module):
     n_head: int
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    dropout_impl: str = 'rng'
 
     @nn.compact
     def __call__(self, streams, deterministic=True):
         ln_1 = nn.LayerNorm(epsilon=LAYER_NORM_EPS, dtype=self.dtype, name='ln_1')
         ln_2 = nn.LayerNorm(epsilon=LAYER_NORM_EPS, dtype=self.dtype, name='ln_2')
         attn = BranchingAttention(self.d_model, self.n_head, self.dropout,
-                                  dtype=self.dtype, name='attn')
+                                  dtype=self.dtype, dropout_impl=self.dropout_impl,
+                                  name='attn')
         mlp = MLP(4 * self.d_model, self.d_model, self.dropout,
-                  dtype=self.dtype, name='mlp')
+                  dtype=self.dtype, dropout_impl=self.dropout_impl, name='mlp')
         normed = [ln_1(x) for x in streams]
         attended = attn(normed, deterministic=deterministic)
         streams = [x + a for x, a in zip(streams, attended)]
@@ -188,6 +205,8 @@ def cross_entropy_with_label_smoothing(labels, logits, label_smoothing=0.0):
 class MIGT(nn.Module):
     config: MIGTConfig
     dtype: Any = jnp.float32
+    dropout_impl: str = 'rng'
+    remat: bool = False
 
     @property
     def mask_token(self):
@@ -206,12 +225,13 @@ class MIGT(nn.Module):
                               (WPE_STATIC_SIZE, cfg.d_model), jnp.float32)
         self.pose_embedding = MLP(cfg.d_model * 2, cfg.d_model, dtype=jnp.float32,
                                   name='pose_embedding')
-        self.h = [Block(cfg.d_model, cfg.n_head, cfg.dropout, dtype=self.dtype,
-                        name=f'h_{i}') for i in range(cfg.n_layer)]
+        block_cls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
+        self.h = [block_cls(cfg.d_model, cfg.n_head, cfg.dropout, dtype=self.dtype,
+                            dropout_impl=self.dropout_impl, name=f'h_{i}')
+                  for i in range(cfg.n_layer)]
         self.ln_f = nn.LayerNorm(epsilon=LAYER_NORM_EPS, dtype=self.dtype, name='ln_f')
         self.pose_criterion = QuaternionPoseRepresentation(
             cfg.d_model, position_multiplier=cfg.pose_multiplier, name='pose_criterion')
-        self.drop = nn.Dropout(cfg.dropout)
         if cfg.use_dynamic_pose_loss:
             self.pos_ori_weights = self.param(
                 'pos_ori_weights', lambda key: jnp.asarray([0.0, -3.0], jnp.float32))
@@ -284,10 +304,11 @@ class MIGT(nn.Module):
             streams.append(localization_embeds + position_embeds + loc_embed)
             loc_pointer = len(streams) - 1
 
-        streams = [self.drop(x.astype(self.dtype), deterministic=deterministic)
+        streams = [_maybe_dropout(self, x.astype(self.dtype), cfg.dropout,
+                                  deterministic, self.dropout_impl)
                    for x in streams]
         for block in self.h:
-            streams = block(streams, deterministic=deterministic)
+            streams = block(streams, deterministic)
         streams = [self.ln_f(x) for x in streams]
 
         output = {'hidden_states': streams}

@@ -51,14 +51,18 @@ def strict_causal_bias(T, L, dtype=jnp.float32):
     return jnp.where(allowed, 0.0, _NEG_INF).astype(dtype)
 
 
-def _dropout(weights, rate, rng):
+def _dropout(weights, rate, rng, impl='rng'):
     if rng is None or rate <= 0.0:
         return weights
+    if impl == 'hash':
+        from .dropout import hash_dropout
+        return hash_dropout(rng, weights, rate)
     keep = jax.random.bernoulli(rng, 1.0 - rate, weights.shape)
     return jnp.where(keep, weights / (1.0 - rate), 0.0)
 
 
-def block_causal_attention(q, k, v, dropout_rate=0.0, dropout_rng=None):
+def block_causal_attention(q, k, v, dropout_rate=0.0, dropout_rng=None,
+                           dropout_impl='rng'):
     """Stream-0 attention. q/k/v: [B, H, T, L, dh] -> [B, H, T, L, dh]."""
     B, H, T, L, dh = q.shape
     qf = q.reshape(B, H, T * L, dh)
@@ -68,13 +72,13 @@ def block_causal_attention(q, k, v, dropout_rate=0.0, dropout_rng=None):
                         preferred_element_type=jnp.float32)
     scores = scores + block_causal_bias(T, L)
     weights = jax.nn.softmax(scores, axis=-1)
-    weights = _dropout(weights, dropout_rate, dropout_rng)
+    weights = _dropout(weights, dropout_rate, dropout_rng, dropout_impl)
     out = jnp.einsum('bhqk,bhkd->bhqd', weights.astype(vf.dtype), vf)
     return out.reshape(B, H, T, L, dh)
 
 
 def branch_attention(q_branches, k0, v0, k_branches, v_branches,
-                     dropout_rate=0.0, dropout_rng=None):
+                     dropout_rate=0.0, dropout_rng=None, dropout_impl='rng'):
     """Side-stream attention for all branches at once.
 
     q_branches/k_branches/v_branches: [S, B, H, T, L, dh] (S side streams);
@@ -96,7 +100,7 @@ def branch_attention(q_branches, k0, v0, k_branches, v_branches,
     joint = jnp.concatenate(
         [scores_old.reshape(S, B, H, T, L, T * L), scores_new], axis=-1)
     weights = jax.nn.softmax(joint, axis=-1)
-    weights = _dropout(weights, dropout_rate, dropout_rng)
+    weights = _dropout(weights, dropout_rate, dropout_rng, dropout_impl)
     w_old = weights[..., :T * L].reshape(S, B, H, T * L, T * L).astype(v0f.dtype)
     w_new = weights[..., T * L:].astype(v_branches.dtype)
     out = jnp.einsum('sbhqk,bhkd->sbhqd', w_old, v0f).reshape(S, B, H, T, L, dh)
@@ -200,7 +204,7 @@ def multi_end_causal_attention(kset, vset, qset, dropout_rate=0.0, dropout_rng=N
 
 
 def multi_end_block_attention(kset, vset, qset, dropout_rate=0.0, dropout_rng=None,
-                              use_fused='auto'):
+                              use_fused='auto', dropout_impl='rng'):
     """Full branching attention over a list of streams.
 
     kset/vset/qset: tuples of [B, H, T, L, dh], stream 0 first. Returns a
@@ -249,12 +253,14 @@ def multi_end_block_attention(kset, vset, qset, dropout_rate=0.0, dropout_rng=No
     rng0 = rng1 = None
     if dropout_rng is not None:
         rng0, rng1 = jax.random.split(dropout_rng)
-    out0 = block_causal_attention(qset[0], kset[0], vset[0], dropout_rate, rng0)
+    out0 = block_causal_attention(qset[0], kset[0], vset[0], dropout_rate, rng0,
+                                  dropout_impl)
     outputs = (out0,)
     if len(qset) > 1:
         qb = jnp.stack(qset[1:], 0)
         kb = jnp.stack(kset[1:], 0)
         vb = jnp.stack(vset[1:], 0)
-        outs = branch_attention(qb, kset[0], vset[0], kb, vb, dropout_rate, rng1)
+        outs = branch_attention(qb, kset[0], vset[0], kb, vb, dropout_rate, rng1,
+                                dropout_impl)
         outputs = outputs + tuple(outs[i] for i in range(outs.shape[0]))
     return outputs

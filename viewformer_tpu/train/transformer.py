@@ -127,8 +127,11 @@ def create_transformer_optimizer(config, total_steps=None, warmup_steps=2000):
     return tx, lr
 
 
-def init_transformer_state(config, rng, optimizer, dtype=jnp.float32):
-    model = MIGT(config, dtype=dtype)
+def init_transformer_state(config, rng, optimizer, dtype=jnp.float32,
+                           dropout_impl='rng', remat=True):
+    # remat default True: halves activation memory AND is required on some
+    # backends whose compiler rejects the unrolled grad-with-dropout graph
+    model = MIGT(config, dtype=dtype, dropout_impl=dropout_impl, remat=remat)
     poses = jnp.zeros((1, config.sequence_size, 7), jnp.float32)
     tokens = jnp.zeros((1, config.sequence_size, config.token_image_size,
                         config.token_image_size), jnp.int32)
@@ -240,7 +243,8 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
                       batch_size=None, resume=True, finetune_from=None,
                       seed=42, use_bf16=True, wandb=False, log_every=50,
                       max_samples_per_environment=-1, mesh=None, progress=True,
-                      profile_batch=50, steps_per_call=1):
+                      profile_batch=50, steps_per_call=1, dropout_impl='rng',
+                      remat=True):
     """Full training loop (CLI `train transformer` / `train finetune-transformer`).
 
     finetune_from: a job dir whose best/last checkpoint seeds the params while
@@ -257,7 +261,8 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
     dtype = jnp.bfloat16 if use_bf16 else jnp.float32
 
     optimizer, lr_schedule = create_transformer_optimizer(config, total_steps)
-    model, state = init_transformer_state(config, jax.random.PRNGKey(seed), optimizer, dtype)
+    model, state = init_transformer_state(config, jax.random.PRNGKey(seed), optimizer,
+                                          dtype, dropout_impl=dropout_impl, remat=remat)
 
     ckpt = CheckpointManager(job_dir, config)
     start_step = 0
