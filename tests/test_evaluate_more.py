@@ -1,0 +1,95 @@
+"""Tests for multictx-allimg and generate-gqn-images evaluators."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from viewformer_tpu.config import MIGTConfig, VQGANConfig
+from viewformer_tpu.data import generate_dataset_from_loader
+from viewformer_tpu.data.loaders import build
+from viewformer_tpu.utils.schedules import Schedule
+
+
+@pytest.fixture(scope='module')
+def setup(tmp_path_factory):
+    from viewformer_tpu.train.checkpoint import CheckpointManager
+    from viewformer_tpu.train.codebook import (create_codebook_optimizer,
+                                               init_codebook_state)
+    from viewformer_tpu.train.transformer import (create_transformer_optimizer,
+                                                  init_transformer_state)
+
+    root = tmp_path_factory.mktemp('more')
+    for split, n in (('train', 3), ('test', 2)):
+        loader = build('colors', split=split, num_sequences=n, sequence_size=5,
+                       image_size=32)
+        generate_dataset_from_loader(loader, split, str(root / 'ds' / 'colors'),
+                                     max_sequences_per_shard=2, progress=False)
+
+    cconfig = VQGANConfig(ch=32, ch_mult=[1, 2], num_res_blocks=1, attn_resolutions=[],
+                          z_channels=32, embed_dim=8, n_embed=16, image_size=32,
+                          perceptual_weight=0.0)
+    coptimizer = create_codebook_optimizer(cconfig)
+    _, cstate = init_codebook_state(cconfig, jax.random.PRNGKey(0), coptimizer)
+    mgr = CheckpointManager(str(root / 'codebook'), cconfig)
+    mgr.save(0, cstate)
+    mgr.close()
+
+    tconfig = MIGTConfig(n_embeddings=16, n_head=2, d_model=32, n_layer=1, dropout=0.0,
+                         sequence_size=5, token_image_size=16, total_steps=10,
+                         n_loss_skip=1, localization_weight=Schedule.from_str('1'))
+    # image 32 / stride 2 -> token grid 16x16
+    toptimizer, _ = create_transformer_optimizer(tconfig)
+    _, tstate = init_transformer_state(tconfig, jax.random.PRNGKey(1), toptimizer)
+    tmgr = CheckpointManager(str(root / 'transformer'), tconfig)
+    tmgr.save(0, tstate)
+    tmgr.close()
+    return str(root)
+
+
+@pytest.mark.slow
+def test_multictx_allimg(setup, tmp_path):
+    from viewformer_tpu.evaluate.multictx_allimg import \
+        evaluate_transformer_multictx_allimg
+
+    loader = build('dataset', path=os.path.join(setup, 'ds'), split='test')
+    job = str(tmp_path / 'allimg')
+    result = evaluate_transformer_multictx_allimg(
+        loader, os.path.join(setup, 'transformer'), os.path.join(setup, 'codebook'),
+        job, context_views=[0, 2], num_eval_sequences=1, progress=False)
+    assert 'ctx01' in result and 'ctx02' in result
+    assert np.isfinite(result['ctx02']['psnr'])
+    # image tree written: gen-00..02, gt, ctx
+    seq_dir = os.path.join(job, 'gen_images', '000000')
+    assert os.path.exists(os.path.join(seq_dir, 'gt', '000.png'))
+    assert os.path.exists(os.path.join(seq_dir, 'gen-02', '004.png'))
+    assert os.path.exists(os.path.join(seq_dir, 'ctx'))
+
+
+@pytest.mark.slow
+def test_multictx_allimg_keep_last_frame(setup, tmp_path):
+    from viewformer_tpu.evaluate.multictx_allimg import \
+        evaluate_transformer_multictx_allimg
+
+    loader = build('dataset', path=os.path.join(setup, 'ds'), split='test')
+    result = evaluate_transformer_multictx_allimg(
+        loader, os.path.join(setup, 'transformer'), os.path.join(setup, 'codebook'),
+        str(tmp_path / 'chain'), context_views=[0], keep_last_frame=True,
+        num_eval_sequences=1, progress=False)
+    assert np.isfinite(result['ctx01']['psnr'])
+
+
+@pytest.mark.slow
+def test_generate_gqn_images(setup, tmp_path):
+    from viewformer_tpu.evaluate.generate_images import generate_gqn_images
+
+    job = str(tmp_path / 'gqn')
+    generate_gqn_images(os.path.join(setup, 'ds'), job,
+                        os.path.join(setup, 'transformer'),
+                        os.path.join(setup, 'codebook'),
+                        num_eval_sequences=2, progress=False)
+    assert os.path.exists(os.path.join(job, 'gen0.png'))
+    assert os.path.exists(os.path.join(job, 'gt1.png'))
+    assert os.path.exists(os.path.join(job, 'c0_2.png'))
