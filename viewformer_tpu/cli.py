@@ -11,8 +11,6 @@ NAME` plus `--loader-<param> value` flags forwarded to that loader's
 constructor (e.g. `--loader colors --loader-num-sequences 100`).
 Run as `python -m viewformer_tpu ...` or via the `viewformer-cli` script.
 """
-import json
-
 import click
 
 

@@ -12,7 +12,6 @@ import os
 import random
 from collections import defaultdict
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -140,7 +140,6 @@ def generate_batch_predictions(transformer_model, transformer_vars, codebook_mod
 
 def build_store_predictions(job_dir, limit=100):
     """Per-sample gen/gt png + camera dumps (ref :149-172)."""
-    from ..ops.image import encode_image
     os.makedirs(job_dir, exist_ok=True)
     counter = {'i': 0}
 

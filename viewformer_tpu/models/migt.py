@@ -27,7 +27,7 @@ Checkpoint-import quirks preserved on purpose:
     (ref migt.py:305-315);
   - mask_token = n_embeddings, localization_token = n_embeddings + 1.
 """
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -18,8 +18,6 @@ Semantics match the one-shot model exactly (tested): a context frame attends
 cached frames plus its own block (block-causal); a generated frame attends
 cached frames strictly before it plus its own mask-token block.
 """
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

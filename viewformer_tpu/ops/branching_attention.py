@@ -25,8 +25,6 @@ Design notes (TPU-first, not a translation):
 
 Shapes: q/k/v are [B, H, T, L, dh] per stream (T frames, L tokens per frame).
 """
-import functools
-
 import jax
 import jax.numpy as jnp
 
