@@ -89,3 +89,12 @@ def test_deterministic_with_seed(datasets):
     b = next(iter(load_token_dataset(codes_path, batch_size=2, sequence_size=3,
                                      token_image_size=2, seed=5)))
     np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_image_pipeline_process_pool(datasets):
+    image_path, _ = datasets
+    batches = list(load_image_dataset(image_path, batch_size=8, image_size=32,
+                                      split='train', shuffle=False,
+                                      num_decode_processes=2))
+    assert len(batches) == 4
+    assert batches[0].shape == (8, 32, 32, 3)

@@ -24,6 +24,11 @@ from .tfrecord import decode_example, read_records
 from ..ops.image import decode_image
 
 
+def _decode_uint8(data):
+    """Module-level JPEG decode for multiprocessing picklability."""
+    return decode_image(data)
+
+
 def _host_info():
     try:
         import jax
@@ -98,11 +103,15 @@ class Prefetcher:
 
 def load_image_dataset(path, batch_size, image_size, split='train', repeat=None,
                        shuffle=True, seed=0, num_decode_threads=8,
-                       num_channels=None):
+                       num_decode_processes=0, num_channels=None):
     """Flat per-frame image batches for codebook training.
 
     Yields float32 [batch, H, W, C] in [-1, 1]. `repeat=None` -> one epoch;
-    repeat=-1 -> infinite; otherwise that many epochs."""
+    repeat=-1 -> infinite; otherwise that many epochs.
+
+    num_decode_processes > 0 decodes JPEGs in a fork-based process pool
+    (bypasses the GIL entirely — for feeding multi-chip meshes); otherwise a
+    thread pool is used (PIL releases the GIL for most of the decode)."""
     info, paths = _shard_paths(path, split)
     assert info['frame_size'] == image_size, \
         f'Dataset has a different image size: {info["frame_size"]} != {image_size}'
@@ -126,22 +135,27 @@ def load_image_dataset(path, batch_size, image_size, split='train', repeat=None,
         if shuffle:
             frames = _local_shuffle(frames, 1000, rng)
 
-        pool = ThreadPoolExecutor(num_decode_threads)
+        if num_decode_processes > 0:
+            import multiprocessing
+            pool = multiprocessing.get_context('fork').Pool(num_decode_processes)
+            mapper = lambda: pool.imap(_decode_uint8, frames, chunksize=8)  # noqa: E731
+            closer = pool.terminate
+        else:
+            pool = ThreadPoolExecutor(num_decode_threads)
+            mapper = lambda: pool.map(_decode_uint8, frames, chunksize=4)  # noqa: E731
+            closer = lambda: pool.shutdown(wait=False)  # noqa: E731
         try:
-            def decode(data):
-                img = decode_image(data).astype(np.float32) / 255.0
-                return img * 2.0 - 1.0
-
             batch = []
-            for img in pool.map(decode, frames, chunksize=4):
+            for img in mapper():
                 if img.shape[-1] != channels:
                     continue
                 batch.append(img)
                 if len(batch) == batch_size:
-                    yield np.stack(batch, 0)
+                    stacked = np.stack(batch, 0).astype(np.float32) / 255.0
+                    yield stacked * 2.0 - 1.0
                     batch = []
         finally:
-            pool.shutdown(wait=False)
+            closer()
 
     def iterator():
         epoch = 0
