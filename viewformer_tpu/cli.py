@@ -438,10 +438,13 @@ def evaluate_multictx_allimg_cmd(loader_name, transformer_model, codebook_model,
 @click.option('--generation-procedure', default='standard',
               type=click.Choice(['standard', 'generated_images', 'pose_refinement']))
 @click.option('--pose-multiplier', type=float, default=None)
+@click.option('--num-context-views', type=int, default=19)
+@click.option('--image-size', type=int, default=128)
 def evaluate_sevenscenes_cmd(path, transformer_model, codebook_model, job_dir,
                              batch_size, image_match_map, scenes, sequence_size,
                              num_eval_sequences, num_store_images, top_n_matched_images,
-                             num_gen_ctx, generation_procedure, pose_multiplier):
+                             num_gen_ctx, generation_procedure, pose_multiplier,
+                             num_context_views, image_size):
     """7-Scenes localization + view synthesis evaluation."""
     from .evaluate.sevenscenes import evaluate_sevenscenes
     evaluate_sevenscenes(path, transformer_model, codebook_model, job_dir,
@@ -453,7 +456,8 @@ def evaluate_sevenscenes_cmd(path, transformer_model, codebook_model, job_dir,
                          top_n_matched_images=top_n_matched_images,
                          num_gen_ctx=num_gen_ctx,
                          generation_procedure=generation_procedure,
-                         pose_multiplier=pose_multiplier)
+                         pose_multiplier=pose_multiplier,
+                         num_context_views=num_context_views, image_size=image_size)
 
 
 @evaluate.command('7scenes-baseline')
