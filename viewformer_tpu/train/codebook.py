@@ -77,7 +77,12 @@ def codebook_loss_fn(model, config, lpips_params, params, quantizer, batch):
     else:
         metrics['p_loss'] = jnp.zeros(())
     loss = loss + config.codebook_weight * e_latent_loss
-    metrics.update(rec_loss=rec_l1, quant_loss=e_latent_loss, total_loss=loss)
+    # codebook utilization: perplexity of the batch's code distribution
+    counts = jnp.bincount(codes.reshape(-1), length=config.n_embed)
+    probs = counts / jnp.maximum(jnp.sum(counts), 1)
+    perplexity = jnp.exp(-jnp.sum(jnp.where(probs > 0, probs * jnp.log(probs), 0.0)))
+    metrics.update(rec_loss=rec_l1, quant_loss=e_latent_loss, total_loss=loss,
+                   perplexity=perplexity)
     return loss, (metrics, mutated['quantizer'])
 
 
