@@ -1,5 +1,10 @@
 """Vector quantizers as pure functions over explicit state pytrees.
 
+Covers the reference's QuantizeEMA (the one the model uses) and the non-EMA
+Quantize with commitment loss; the reference's third variant `QuantizeOld`
+(utils_th.py:127) is an unused legacy duplicate and is intentionally not
+ported.
+
 Parity targets: the EMA quantizer of /root/reference/viewformer/models/
 utils.py:40-177 (tf) and utils_th.py:8-72 (torch): bias-corrected EMA of
 cluster sizes and embedding sums with a step counter, Laplace-smoothed
