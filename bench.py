@@ -138,6 +138,107 @@ def main(verbose=False):
     }))
 
 
+def serve(verbose=False):
+    """Opt-in second mode (`bench.py --serve`): steady-state chained serving
+    throughput via the KV-cache incremental path (models/migt_incremental.py).
+
+    Scenario: a 19-frame context is cached once; each step generates a novel
+    view for a new query pose (one 64-token branch pass over the cache) and
+    decodes it — O(T) per frame where the reference re-runs the entire
+    sequence per chained frame (O(T^2); ref
+    evaluate_transformer_multictx_allimg.py:146-171 keep_last_frame)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from viewformer_tpu.config import MIGTConfig, VQGANConfig
+    from viewformer_tpu.models import AutoModel
+    from viewformer_tpu.models.migt_incremental import (extend_cache,
+                                                        generate_frame,
+                                                        init_cache)
+
+    def log(msg):
+        if verbose:
+            print(f'[{time.strftime("%H:%M:%S")}] {msg}', flush=True)
+
+    codebook = AutoModel.from_config(VQGANConfig(), dtype=jnp.bfloat16)
+    transformer = AutoModel.from_config(MIGTConfig(), dtype=jnp.bfloat16)
+    cpu = jax.devices('cpu')[0]
+    with jax.default_device(cpu):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        codebook_vars = codebook.init({'params': k1, 'quantizer': k2},
+                                      jnp.zeros((1, 128, 128, 3), jnp.float32),
+                                      training=False)
+        transformer_vars = transformer.init(
+            k3, jnp.zeros((1, S, 7), jnp.float32),
+            jnp.zeros((1, S, 8, 8), jnp.int32), compute_losses=False)
+    device = jax.devices()[0]
+    # bf16 weights + bf16 KV cache: serving config (accumulations stay f32
+    # inside the kernels via preferred_element_type)
+    to_bf16 = lambda t: jax.tree.map(  # noqa: E731
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, t)
+    tparams = jax.device_put(to_bf16(transformer_vars['params']), device)
+    cvars = jax.device_put({'params': codebook_vars['params'],
+                            'quantizer': codebook_vars['quantizer']}, device)
+    log('params initialized')
+
+    @jax.jit
+    def build_cache(tparams, tokens, poses):
+        cache = init_cache(transformer.config, B, S, dtype=jnp.bfloat16)
+
+        def step(cache, inp):
+            tok, pose = inp
+            return extend_cache(transformer, tparams, cache, tok, pose), None
+
+        cache, _ = jax.lax.scan(
+            step, cache, (tokens.transpose(1, 0, 2, 3), poses.transpose(1, 0, 2)))
+        return cache
+
+    @jax.jit
+    def serve_step(tparams, cvars, cache, query_pose):
+        logits = generate_frame(transformer, tparams, cache, query_pose)
+        codes = jnp.argmax(logits, -1)
+        dec = codebook.apply(cvars, codes, method=type(codebook).decode_code)
+        return ((jnp.clip(dec, -1, 1) / 2 + 0.5) * 255.0 + 0.5).astype(jnp.uint8)
+
+    rs = np.random.RandomState(0)
+    tokens = jax.device_put(jnp.asarray(
+        rs.randint(0, transformer.config.n_embeddings, (B, S - 1, 8, 8)), jnp.int32),
+        device)
+    q = rs.randn(B, S, 4)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    poses = jax.device_put(jnp.asarray(
+        np.concatenate([rs.randn(B, S, 3), q], -1), jnp.float32), device)
+
+    t0 = time.time()
+    cache = build_cache(tparams, tokens, poses[:, :-1])
+    np.asarray(cache['n'])
+    log(f'cache built: 19 context frames ({time.time() - t0:.1f}s)')
+
+    t0 = time.time()
+    np.asarray(serve_step(tparams, cvars, cache, poses[:, -1]))  # compile+warm
+    log(f'serve_step compiled ({time.time() - t0:.1f}s)')
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = np.asarray(serve_step(tparams, cvars, cache, poses[:, -1]))
+    elapsed = time.perf_counter() - t0
+    assert out.shape == (B, 128, 128, 3)
+
+    value = B * iters / elapsed / jax.device_count()
+    print(json.dumps({
+        'metric': '128px novel-view frames/sec/chip (KV-cache incremental serve)',
+        'value': round(value, 3),
+        'unit': 'frames/s/chip',
+        'vs_baseline': round(value / ESTIMATED_A100_REFERENCE_FPS, 3),
+    }))
+
+
 if __name__ == '__main__':
     import sys
-    main(verbose='-v' in sys.argv)
+    if '--serve' in sys.argv:
+        serve(verbose='-v' in sys.argv)
+    else:
+        main(verbose='-v' in sys.argv)

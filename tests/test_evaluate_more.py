@@ -81,6 +81,43 @@ def test_multictx_allimg_keep_last_frame(setup, tmp_path):
     assert np.isfinite(result['ctx01']['psnr'])
 
 
+def test_pad_batch_for_jit_unit():
+    from viewformer_tpu.evaluate.transformer import pad_batch_for_jit
+
+    key = object()  # unique key so the module-level size cache stays clean
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    (out,), b = pad_batch_for_jit(key, [a])
+    assert b == 3 and out.shape == (3, 4)  # first (full) batch: no padding
+    (out,), b = pad_batch_for_jit(key, [a[:1]])
+    assert b == 1 and out.shape == (3, 4)  # tail padded up to compiled size
+    np.testing.assert_array_equal(out[1], a[0])
+    np.testing.assert_array_equal(out[2], a[0])
+
+
+@pytest.mark.slow
+def test_tail_batch_padding_matches_full_batch(setup):
+    """A tail batch smaller than the compiled batch is padded (not recompiled)
+    and its predictions are identical to the same sample in a full batch."""
+    from viewformer_tpu.evaluate.transformer import generate_batch_predictions
+    from viewformer_tpu.models import load_model
+
+    tm, tv = load_model(os.path.join(setup, 'transformer'))
+    cm, cv = load_model(os.path.join(setup, 'codebook'))
+    loader = build('dataset', path=os.path.join(setup, 'ds'), split='test')
+    frames = np.stack([np.asarray(loader[i]['frames'])[:5] for i in range(2)])
+    cameras = np.stack([np.asarray(loader[i]['cameras'])[:5]
+                        for i in range(2)]).astype(np.float32)
+
+    full = generate_batch_predictions(tm, tv, cm, cv, frames, cameras)
+    tail = generate_batch_predictions(tm, tv, cm, cv, frames[1:], cameras[1:])
+    assert tail['generated_images'].shape[0] == 1
+    np.testing.assert_array_equal(tail['generated_images'][0],
+                                  full['generated_images'][1])
+    if full['generated_cameras'] is not None:
+        np.testing.assert_allclose(tail['generated_cameras'][0],
+                                   full['generated_cameras'][1], atol=1e-5)
+
+
 @pytest.mark.slow
 def test_generate_gqn_images(setup, tmp_path):
     from viewformer_tpu.evaluate.generate_images import generate_gqn_images

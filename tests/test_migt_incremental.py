@@ -65,6 +65,36 @@ def test_incremental_each_context_size(setup):
                                    atol=2e-4, err_msg=f'context size {n}')
 
 
+def test_scan_cache_build_matches_sequential(setup):
+    """Building the cache with lax.scan over frames (the bench --serve /
+    batch-serving path) must equal sequential extend_cache calls."""
+    model, params, poses, tokens = setup
+    B = tokens.shape[0]
+
+    seq_cache = inc.init_cache(TINY, B, max_frames=8)
+    for t in range(3):
+        seq_cache = inc.extend_cache(model, params, seq_cache, tokens[:, t], poses[:, t])
+
+    @jax.jit
+    def build(params, tokens, poses):
+        cache = inc.init_cache(TINY, B, max_frames=8)
+
+        def step(cache, inp):
+            tok, pose = inp
+            return inc.extend_cache(model, params, cache, tok, pose), None
+
+        cache, _ = jax.lax.scan(
+            step, cache, (tokens.transpose(1, 0, 2, 3), poses.transpose(1, 0, 2)))
+        return cache
+
+    scan_cache = build(params, tokens[:, :3], poses[:, :3])
+    assert int(scan_cache['n']) == 3
+    np.testing.assert_allclose(np.asarray(scan_cache['k']),
+                               np.asarray(seq_cache['k']), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(scan_cache['v']),
+                               np.asarray(seq_cache['v']), atol=1e-5)
+
+
 def test_incremental_jits(setup):
     model, params, poses, tokens = setup
     B = tokens.shape[0]

@@ -40,7 +40,9 @@ def generate_batch_predictions(codebook_model, codebook_vars, images, _cache={})
     images = np.asarray(images)
     fimages = resize(images, codebook_model.config.image_size)
     x = fimages.astype(np.float32) / 255.0 * 2.0 - 1.0
-    generated = np.asarray(jax.device_get(reconstruct(jnp.asarray(x))))
+    from .transformer import pad_batch_for_jit
+    (x,), b = pad_batch_for_jit(key, [x])
+    generated = np.asarray(jax.device_get(reconstruct(jnp.asarray(x))))[:b]
     return dict(ground_truth_images=fimages, generated_images=generated,
                 ground_truth_cameras=None, generated_cameras=None)
 

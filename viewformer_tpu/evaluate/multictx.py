@@ -16,7 +16,7 @@ import numpy as np
 from ..ops.image import resize
 from .evaluator import MultiContextEvaluator, print_metrics
 from .transformer import (from_relative_cameras, normalize_cameras,
-                          to_relative_cameras)
+                          pad_batch_for_jit, to_relative_cameras)
 
 
 def make_generate_batch_predictions(transformer_model, transformer_vars,
@@ -93,12 +93,14 @@ def generate_batch_predictions(transformer_model, transformer_vars, codebook_mod
                      codebook_model.config.image_size)
     fimages = fimages.reshape(images.shape[:2] + fimages.shape[1:])
     fimages = fimages.astype(np.float32) / 255.0 * 2.0 - 1.0
-    out = jax.device_get(predict(jnp.asarray(fimages), jnp.asarray(cameras, jnp.float32)))
+    (fimages, cameras), b = pad_batch_for_jit(
+        key, [fimages, np.asarray(cameras, np.float32)])
+    out = jax.device_get(predict(jnp.asarray(fimages), jnp.asarray(cameras)))
     return dict(
         ground_truth_images=images[:, -1],
-        generated_images=np.asarray(out['generated_images']),
-        ground_truth_cameras=np.asarray(out['ground_truth_cameras']),
-        generated_cameras=(np.asarray(out['generated_cameras'])
+        generated_images=np.asarray(out['generated_images'])[:b],
+        ground_truth_cameras=np.asarray(out['ground_truth_cameras'])[:b],
+        generated_cameras=(np.asarray(out['generated_cameras'])[:b]
                            if out['generated_cameras'] is not None else None))
 
 

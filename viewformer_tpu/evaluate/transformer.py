@@ -114,6 +114,22 @@ def make_generate_batch_predictions(transformer_model, transformer_vars,
     return functools.partial(predict, transformer_variables, codebook_variables)
 
 
+def pad_batch_for_jit(key, arrays, _sizes={}):
+    """Pad leading batch dims up to the largest batch already compiled for
+    this jit-cache key (by repeating the last sample), so the tail batch of
+    an evaluation never specializes a second XLA program — a full-size
+    recompile costs minutes on TPU. Returns (padded_arrays, valid_count)."""
+    b = arrays[0].shape[0]
+    target = _sizes.get(key, 0)
+    if b > target:
+        _sizes[key] = target = b
+    if b == target:
+        return arrays, b
+    pad = target - b
+    return [np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], 0)
+            for a in arrays], b
+
+
 def generate_batch_predictions(transformer_model, transformer_vars, codebook_model,
                                codebook_vars, images, cameras, _cache={}):
     """Host-facing wrapper: uint8 frames [B,S,H,W,C] + cameras [B,S,7] ->
@@ -129,12 +145,14 @@ def generate_batch_predictions(transformer_model, transformer_vars, codebook_mod
                      codebook_model.config.image_size)
     fimages = fimages.reshape(images.shape[:2] + fimages.shape[1:])
     fimages = fimages.astype(np.float32) / 255.0 * 2.0 - 1.0
-    out = jax.device_get(predict(jnp.asarray(fimages), jnp.asarray(cameras, jnp.float32)))
+    (fimages, cameras), b = pad_batch_for_jit(
+        key, [fimages, np.asarray(cameras, np.float32)])
+    out = jax.device_get(predict(jnp.asarray(fimages), jnp.asarray(cameras)))
     return dict(
         ground_truth_images=images[:, -1],
-        generated_images=np.asarray(out['generated_images']),
-        ground_truth_cameras=np.asarray(out['ground_truth_cameras']),
-        generated_cameras=(np.asarray(out['generated_cameras'])
+        generated_images=np.asarray(out['generated_images'])[:b],
+        ground_truth_cameras=np.asarray(out['ground_truth_cameras'])[:b],
+        generated_cameras=(np.asarray(out['generated_cameras'])[:b]
                            if out['generated_cameras'] is not None else None))
 
 

@@ -131,8 +131,8 @@ def extend_cache(model, params, cache, tokens, pose):
         block_params = params[f'h_{layer}']
         x, kh, vh = _block_incremental(model, block_params, H, x,
                                        cache['k'][layer], cache['v'][layer], n)
-        new_k = new_k.at[layer, :, :, n].set(kh)
-        new_v = new_v.at[layer, :, :, n].set(vh)
+        new_k = new_k.at[layer, :, :, n].set(kh.astype(new_k.dtype))
+        new_v = new_v.at[layer, :, :, n].set(vh.astype(new_v.dtype))
     return {'k': new_k, 'v': new_v, 'n': n + 1}
 
 
