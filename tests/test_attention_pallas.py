@@ -73,16 +73,17 @@ def test_supported_gating():
 
 
 def test_custom_vjp_gradients_match_dense():
-    """Fused forward + dense-recompute backward must equal pure dense grads."""
+    """Fused forward + fused flash backward must equal pure dense grads."""
     q, k, v = (_rand(i, 1, 1, 2, 64, 32) for i in range(3))
 
     def loss_dense(q, k, v):
         return jnp.sum(block_causal_attention(q, k, v) ** 2)
 
-    # exercise the custom_vjp machinery with the interpret-mode kernel
+    # exercise the custom_vjp machinery with the interpret-mode kernels
     import viewformer_tpu.ops.attention_pallas as mod
-    orig = mod._run_block_causal
-    mod._run_block_causal = lambda *a, **kw: orig(*a, interpret=True)
+    orig_f, orig_b = mod._run_block_causal, mod._run_block_causal_bwd
+    mod._run_block_causal = lambda *a, **kw: orig_f(*a, interpret=True)
+    mod._run_block_causal_bwd = lambda *a, **kw: orig_b(*a, interpret=True)
     try:
         def loss_fused(q, k, v):
             return jnp.sum(mod.fused_block_causal_attention(q, k, v, 64) ** 2)
@@ -92,4 +93,60 @@ def test_custom_vjp_gradients_match_dense():
         for a, b in zip(gd, gf):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
     finally:
-        mod._run_block_causal = orig
+        mod._run_block_causal = orig_f
+        mod._run_block_causal_bwd = orig_b
+
+
+def test_fused_block_causal_backward_matches_dense():
+    """Direct kernel check: flash backward == jax.vjp of the dense impl, at a
+    multi-tile shape (several q tiles exercise the dk/dv VMEM accumulators)."""
+    q, k, v = (_rand(i, B, H, T, L, DH) for i in range(3))
+    g = _rand(7, B, H, T, L, DH)
+
+    _, vjp = jax.vjp(lambda q, k, v: block_causal_attention(q, k, v), q, k, v)
+    dq_d, dk_d, dv_d = vjp(g)
+
+    r = lambda x: jnp.asarray(np.asarray(x).reshape(B * H, TL, DH))  # noqa: E731
+    dq, dk, dv = ap._run_block_causal_bwd(r(q), r(k), r(v), r(g), L,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(dq).reshape(B, H, T, L, DH),
+                               np.asarray(dq_d), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk).reshape(B, H, T, L, DH),
+                               np.asarray(dk_d), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv).reshape(B, H, T, L, DH),
+                               np.asarray(dv_d), atol=2e-4)
+
+
+def test_fused_branch_backward_matches_dense():
+    """Branch flash backward == dense vjp, including the dk0/dv0 sum over
+    branches (shared stream-0 K/V)."""
+    S = 2
+    k0, v0 = _rand(0, B, H, T, L, DH), _rand(1, B, H, T, L, DH)
+    qb, kb, vb = (_rand(i, S, B, H, T, L, DH) for i in (2, 3, 4))
+    g = _rand(9, S, B, H, T, L, DH)
+
+    _, vjp = jax.vjp(
+        lambda qb, k0, v0, kb, vb: branch_attention(qb, k0, v0, kb, vb),
+        qb, k0, v0, kb, vb)
+    dq_d, dk0_d, dv0_d, dkb_d, dvb_d = vjp(g)
+
+    rf = lambda x: jnp.asarray(np.asarray(x).reshape(S * B * H, TL, DH))  # noqa: E731
+    k0f = jnp.asarray(np.broadcast_to(
+        np.asarray(k0).reshape(1, B * H, TL, DH),
+        (S, B * H, TL, DH)).reshape(S * B * H, TL, DH))
+    v0f = jnp.asarray(np.broadcast_to(
+        np.asarray(v0).reshape(1, B * H, TL, DH),
+        (S, B * H, TL, DH)).reshape(S * B * H, TL, DH))
+    dq, dk0, dv0, dkb, dvb = ap._run_branch_bwd(
+        rf(qb), k0f, v0f, rf(kb), rf(vb), rf(g), L, interpret=True)
+    dk0 = np.asarray(dk0).reshape(S, B, H, T, L, DH).sum(0)
+    dv0 = np.asarray(dv0).reshape(S, B, H, T, L, DH).sum(0)
+
+    np.testing.assert_allclose(np.asarray(dq).reshape(S, B, H, T, L, DH),
+                               np.asarray(dq_d), atol=2e-4)
+    np.testing.assert_allclose(dk0, np.asarray(dk0_d), atol=2e-4)
+    np.testing.assert_allclose(dv0, np.asarray(dv0_d), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dkb).reshape(S, B, H, T, L, DH),
+                               np.asarray(dkb_d), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dvb).reshape(S, B, H, T, L, DH),
+                               np.asarray(dvb_d), atol=2e-4)

@@ -14,9 +14,12 @@ Masks match ops/branching_attention.py exactly:
             frame(kb) == frame(q) for own-stream keys (joint softmax)
 No 1/sqrt(dh) scaling (reference quirk, see branching_attention.py).
 
-Gradients: jax.custom_vjp with the dense XLA implementation as the backward
-(recompute) — training memory equals the previous dense path while forward
-(inference, eval, and the fwd half of training) takes the fused kernel.
+Gradients: jax.custom_vjp with fused flash-style backward kernels — the
+softmax weights are recomputed from q/k inside VMEM (only the inputs are
+saved as residuals), and dK/dV accumulate across q tiles in VMEM output
+blocks. Neither forward nor backward ever materializes an attention score
+tensor in HBM. (The fused path only activates when attention dropout is off —
+see multi_end_block_attention — so the backward needs no dropout mask.)
 """
 import functools
 
@@ -128,7 +131,147 @@ def _run_branch(q, k0, v0, kb, vb, L, interpret=False):
 
 
 # ---------------------------------------------------------------------------
-# Public API with dense-backward custom_vjp
+# Backward kernels. Same VMEM-resident single-pass structure as the forward:
+# the softmax weights are recomputed from q/k (flash-style recompute, nothing
+# saved but the inputs), then
+#   dW = dO V^T,  dS = W * (dW - rowsum(dW * W)),  dQ = dS K,
+#   dK = dS^T Q,  dV = W^T dO.
+# dK/dV accumulate across q tiles: TPU Pallas grids run sequentially, so an
+# output block whose index_map ignores the q-tile axis acts as a VMEM
+# accumulator (zeroed at tile 0).
+# ---------------------------------------------------------------------------
+
+def _block_causal_bwd_kernel3(L, q_ref, k_ref, v_ref, do_ref,
+                              dq_ref, dk_ref, dv_ref):
+    qb = q_ref.shape[1]
+    kv_len = k_ref.shape[1]
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    scores = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    row_frame = (i * qb + jax.lax.broadcasted_iota(jnp.int32, (qb, kv_len), 0)) // L
+    col_frame = jax.lax.broadcasted_iota(jnp.int32, (qb, kv_len), 1) // L
+    scores = jnp.where(row_frame >= col_frame, scores, _NEG_INF)
+    w = jax.nn.softmax(scores, axis=-1)
+
+    do = do_ref[0]
+    dw = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = w * (dw - jnp.sum(dw * w, -1, keepdims=True))
+    dsl = ds.astype(k_ref.dtype)
+    dq_ref[0] = jax.lax.dot_general(
+        dsl, k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0] += jax.lax.dot_general(dsl, q_ref[0], (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dv_ref[0] += jax.lax.dot_general(w.astype(do.dtype), do,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+
+def _branch_bwd_kernel3(L, q_ref, k0_ref, v0_ref, kb_ref, vb_ref, do_ref,
+                        dq_ref, dk0_ref, dv0_ref, dkb_ref, dvb_ref):
+    qb = q_ref.shape[1]
+    kv_len = k0_ref.shape[1]
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dk0_ref[0] = jnp.zeros_like(dk0_ref[0])
+        dv0_ref[0] = jnp.zeros_like(dv0_ref[0])
+
+    scores_old = jax.lax.dot_general(q_ref[0], k0_ref[0], (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    row_frame = (i * qb + jax.lax.broadcasted_iota(jnp.int32, (qb, kv_len), 0)) // L
+    col_frame = jax.lax.broadcasted_iota(jnp.int32, (qb, kv_len), 1) // L
+    scores_old = jnp.where(row_frame > col_frame, scores_old, _NEG_INF)
+    scores_new = jax.lax.dot_general(q_ref[0], kb_ref[0], (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    row_frame_n = jax.lax.broadcasted_iota(jnp.int32, (qb, qb), 0) // L
+    col_frame_n = jax.lax.broadcasted_iota(jnp.int32, (qb, qb), 1) // L
+    scores_new = jnp.where(row_frame_n == col_frame_n, scores_new, _NEG_INF)
+
+    m = jnp.maximum(jnp.max(scores_old, -1, keepdims=True),
+                    jnp.max(scores_new, -1, keepdims=True))
+    e_old = jnp.exp(scores_old - m)
+    e_new = jnp.exp(scores_new - m)
+    denom = jnp.sum(e_old, -1, keepdims=True) + jnp.sum(e_new, -1, keepdims=True)
+    w_old = e_old / denom
+    w_new = e_new / denom
+
+    do = do_ref[0]
+    dw_old = jax.lax.dot_general(do, v0_ref[0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    dw_new = jax.lax.dot_general(do, vb_ref[0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    rowsum = jnp.sum(dw_old * w_old, -1, keepdims=True) + \
+        jnp.sum(dw_new * w_new, -1, keepdims=True)
+    ds_old = (w_old * (dw_old - rowsum)).astype(k0_ref.dtype)
+    ds_new = (w_new * (dw_new - rowsum)).astype(kb_ref.dtype)
+
+    dq = jax.lax.dot_general(ds_old, k0_ref[0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq = dq + jax.lax.dot_general(ds_new, kb_ref[0], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk0_ref[0] += jax.lax.dot_general(ds_old, q_ref[0], (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    dv0_ref[0] += jax.lax.dot_general(w_old.astype(do.dtype), do,
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    dkb_ref[0] = jax.lax.dot_general(
+        ds_new, q_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dkb_ref.dtype)
+    dvb_ref[0] = jax.lax.dot_general(
+        w_new.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dvb_ref.dtype)
+
+
+def _run_block_causal_bwd(q, k, v, do, L, interpret=False):
+    BH, TL, dh = q.shape
+    qb = _pick_q_block(TL, L)
+    tile = pl.BlockSpec((1, qb, dh), lambda b, i: (b, i, 0))
+    full = pl.BlockSpec((1, TL, dh), lambda b, i: (b, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_block_causal_bwd_kernel3, L),
+        grid=(BH, TL // qb),
+        in_specs=[tile, full, full, tile],
+        out_specs=[tile, full, full],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct((BH, TL, dh), jnp.float32),
+                   jax.ShapeDtypeStruct((BH, TL, dh), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, do)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _run_branch_bwd(q, k0, v0, kb, vb, do, L, interpret=False):
+    SBH, TL, dh = q.shape
+    qb = _pick_q_block(TL, L)
+    tile = pl.BlockSpec((1, qb, dh), lambda b, i: (b, i, 0))
+    full = pl.BlockSpec((1, TL, dh), lambda b, i: (b, 0, 0))
+    dq, dk0, dv0, dkb, dvb = pl.pallas_call(
+        functools.partial(_branch_bwd_kernel3, L),
+        grid=(SBH, TL // qb),
+        in_specs=[tile, full, full, tile, tile, tile],
+        out_specs=[tile, full, full, tile, tile],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct((SBH, TL, dh), jnp.float32),
+                   jax.ShapeDtypeStruct((SBH, TL, dh), jnp.float32),
+                   jax.ShapeDtypeStruct(kb.shape, kb.dtype),
+                   jax.ShapeDtypeStruct(vb.shape, vb.dtype)],
+        interpret=interpret,
+    )(q, k0, v0, kb, vb, do)
+    return dq, dk0, dv0, dkb, dvb
+
+
+# ---------------------------------------------------------------------------
+# Public API with fused-backward custom_vjp
 # ---------------------------------------------------------------------------
 
 def supported(T, L, dh, platform=None):
@@ -159,10 +302,14 @@ def _fbc_fwd(q, k, v, L):
 
 
 def _fbc_bwd(L, residuals, g):
-    from .branching_attention import block_causal_attention
+    """Fused flash-style backward (recompute weights from q/k in VMEM; no
+    score tensor ever reaches HBM). Only lowered for TPU: the dense path of
+    multi_end_block_attention handles every other platform."""
     q, k, v = residuals
-    _, vjp = jax.vjp(lambda q, k, v: block_causal_attention(q, k, v), q, k, v)
-    return vjp(g)
+    B, H, T, Lq, dh = q.shape
+    r = lambda x: x.reshape(B * H, T * Lq, dh)  # noqa: E731
+    dq, dk, dv = _run_block_causal_bwd(r(q), r(k), r(v), r(g.astype(q.dtype)), L)
+    return dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape)
 
 
 fused_block_causal_attention.defvjp(_fbc_fwd, _fbc_bwd)
@@ -191,12 +338,24 @@ def _fb_fwd(q_branches, k0, v0, k_branches, v_branches, L):
 
 
 def _fb_bwd(L, residuals, g):
-    from .branching_attention import branch_attention
+    """Fused backward for the branch streams. dK0/dV0 are accumulated per
+    (branch, batch, head) inside the kernel and summed over branches here
+    (in f32, before the dtype cast) since stream-0 K/V are shared."""
     q_branches, k0, v0, k_branches, v_branches = residuals
-    _, vjp = jax.vjp(
-        lambda qb, k0, v0, kb, vb: branch_attention(qb, k0, v0, kb, vb),
-        q_branches, k0, v0, k_branches, v_branches)
-    return vjp(g)
+    S, B, H, T, Lq, dh = q_branches.shape
+    TL = T * Lq
+    rf = lambda x: x.reshape(S * B * H, TL, dh)  # noqa: E731
+    k0f = jnp.broadcast_to(k0.reshape(1, B * H, TL, dh),
+                           (S, B * H, TL, dh)).reshape(S * B * H, TL, dh)
+    v0f = jnp.broadcast_to(v0.reshape(1, B * H, TL, dh),
+                           (S, B * H, TL, dh)).reshape(S * B * H, TL, dh)
+    dq, dk0, dv0, dkb, dvb = _run_branch_bwd(
+        rf(q_branches), k0f, v0f, rf(k_branches), rf(v_branches),
+        rf(g.astype(q_branches.dtype)), L)
+    dk0 = dk0.reshape((S,) + k0.shape).sum(0).astype(k0.dtype)
+    dv0 = dv0.reshape((S,) + v0.shape).sum(0).astype(v0.dtype)
+    return (dq.reshape(q_branches.shape), dk0, dv0,
+            dkb.reshape(k_branches.shape), dvb.reshape(v_branches.shape))
 
 
 fused_branch_attention.defvjp(_fb_fwd, _fb_bwd)
