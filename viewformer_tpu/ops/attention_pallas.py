@@ -271,6 +271,276 @@ def _run_branch_bwd(q, k0, v0, kb, vb, do, L, interpret=False):
 
 
 # ---------------------------------------------------------------------------
+# In-kernel attention-weight dropout (xxhash-style integer mix of a seed and
+# the GLOBAL weight index, same generator as ops/dropout.hash_uniform). The
+# mask is a pure function of (seeds, index), so the backward kernel
+# regenerates the identical mask with zero residual state — dropout training
+# keeps the flash structure (nothing but q/k/v saved). The noise stream
+# differs from jax.random dropout (used by the dense path on other
+# platforms); it is the same Bernoulli(1-rate) marginal, deterministic per
+# rng key.
+# ---------------------------------------------------------------------------
+
+def seed_words(key):
+    """PRNG key -> uint32[1, 2] seed operand for the dropout kernels."""
+    from .dropout import _key_words
+    k0, k1 = _key_words(key)
+    return jnp.stack([k0, k1]).reshape(1, 2)
+
+
+def _hash_keep(seed_ref, idx, rate):
+    """Scaled keep mask (0 or 1/(1-rate)) f32 from the global weight index."""
+    h = idx * jnp.uint32(2654435761) + seed_ref[0, 0]
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(2246822519)
+    h = h ^ (h >> 13) ^ seed_ref[0, 1]
+    h = h * jnp.uint32(3266489917)
+    h = h ^ (h >> 16)
+    # Mosaic lacks a uint32->f32 cast; h >> 8 < 2^24 so int32 is lossless
+    u = (h >> 8).astype(jnp.int32).astype(jnp.float32) / jnp.float32(1 << 24)
+    return jnp.where(u >= rate, jnp.float32(1.0 / (1.0 - rate)), jnp.float32(0.0))
+
+
+def _bc_weight_index(i, qb, kv_len, L):
+    """Global flat index of each (row, col) weight for block-causal grids:
+    (b*TL + row_global) * TL + col (uint32, wraparound is fine for hashing)."""
+    b = pl.program_id(0).astype(jnp.uint32)
+    row = (i.astype(jnp.uint32) * jnp.uint32(qb)
+           + jax.lax.broadcasted_iota(jnp.uint32, (qb, kv_len), 0))
+    col = jax.lax.broadcasted_iota(jnp.uint32, (qb, kv_len), 1)
+    return (b * jnp.uint32(kv_len) + row) * jnp.uint32(kv_len) + col
+
+
+def _branch_weight_indices(i, qb, kv_len, L):
+    """Index spaces for the branch kernel's [old | own-tile] weights with a
+    shared row stride of kv_len + qb."""
+    g = pl.program_id(0).astype(jnp.uint32)
+    stride = jnp.uint32(kv_len + qb)
+    row_base = (g * jnp.uint32(kv_len) + i.astype(jnp.uint32) * jnp.uint32(qb)
+                + jax.lax.broadcasted_iota(jnp.uint32, (qb, 1), 0)) * stride
+    col_old = jax.lax.broadcasted_iota(jnp.uint32, (qb, kv_len), 1)
+    col_new = jax.lax.broadcasted_iota(jnp.uint32, (qb, qb), 1) + jnp.uint32(kv_len)
+    return row_base + col_old, row_base + col_new
+
+
+def _block_causal_do_kernel3(L, rate, seed_ref, q_ref, k_ref, v_ref, o_ref):
+    qb = q_ref.shape[1]
+    kv_len = k_ref.shape[1]
+    i = pl.program_id(1)
+    scores = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    row_frame = (i * qb + jax.lax.broadcasted_iota(jnp.int32, (qb, kv_len), 0)) // L
+    col_frame = jax.lax.broadcasted_iota(jnp.int32, (qb, kv_len), 1) // L
+    scores = jnp.where(row_frame >= col_frame, scores, _NEG_INF)
+    w = jax.nn.softmax(scores, axis=-1)
+    w = w * _hash_keep(seed_ref, _bc_weight_index(i, qb, kv_len, L), rate)
+    o_ref[0] = jax.lax.dot_general(
+        w.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _block_causal_do_bwd_kernel3(L, rate, seed_ref, q_ref, k_ref, v_ref, do_ref,
+                                 dq_ref, dk_ref, dv_ref):
+    qb = q_ref.shape[1]
+    kv_len = k_ref.shape[1]
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    scores = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    row_frame = (i * qb + jax.lax.broadcasted_iota(jnp.int32, (qb, kv_len), 0)) // L
+    col_frame = jax.lax.broadcasted_iota(jnp.int32, (qb, kv_len), 1) // L
+    scores = jnp.where(row_frame >= col_frame, scores, _NEG_INF)
+    w = jax.nn.softmax(scores, axis=-1)
+    keep = _hash_keep(seed_ref, _bc_weight_index(i, qb, kv_len, L), rate)
+
+    do = do_ref[0]
+    dw = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) * keep
+    ds = w * (dw - jnp.sum(dw * w, -1, keepdims=True))
+    dsl = ds.astype(k_ref.dtype)
+    dq_ref[0] = jax.lax.dot_general(
+        dsl, k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0] += jax.lax.dot_general(dsl, q_ref[0], (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dv_ref[0] += jax.lax.dot_general((w * keep).astype(do.dtype), do,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+
+def _branch_do_kernel3(L, rate, seed_ref, q_ref, k0_ref, v0_ref, kb_ref, vb_ref,
+                       o_ref):
+    qb = q_ref.shape[1]
+    kv_len = k0_ref.shape[1]
+    i = pl.program_id(1)
+    scores_old = jax.lax.dot_general(q_ref[0], k0_ref[0], (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    row_frame = (i * qb + jax.lax.broadcasted_iota(jnp.int32, (qb, kv_len), 0)) // L
+    col_frame = jax.lax.broadcasted_iota(jnp.int32, (qb, kv_len), 1) // L
+    scores_old = jnp.where(row_frame > col_frame, scores_old, _NEG_INF)
+    scores_new = jax.lax.dot_general(q_ref[0], kb_ref[0], (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    row_frame_n = jax.lax.broadcasted_iota(jnp.int32, (qb, qb), 0) // L
+    col_frame_n = jax.lax.broadcasted_iota(jnp.int32, (qb, qb), 1) // L
+    scores_new = jnp.where(row_frame_n == col_frame_n, scores_new, _NEG_INF)
+
+    m = jnp.maximum(jnp.max(scores_old, -1, keepdims=True),
+                    jnp.max(scores_new, -1, keepdims=True))
+    e_old = jnp.exp(scores_old - m)
+    e_new = jnp.exp(scores_new - m)
+    denom = jnp.sum(e_old, -1, keepdims=True) + jnp.sum(e_new, -1, keepdims=True)
+    idx_old, idx_new = _branch_weight_indices(i, qb, kv_len, L)
+    w_old = (e_old / denom) * _hash_keep(seed_ref, idx_old, rate)
+    w_new = (e_new / denom) * _hash_keep(seed_ref, idx_new, rate)
+    out = jax.lax.dot_general(w_old.astype(v0_ref.dtype), v0_ref[0],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    out = out + jax.lax.dot_general(w_new.astype(vb_ref.dtype), vb_ref[0],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _branch_do_bwd_kernel3(L, rate, seed_ref, q_ref, k0_ref, v0_ref, kb_ref,
+                           vb_ref, do_ref, dq_ref, dk0_ref, dv0_ref, dkb_ref,
+                           dvb_ref):
+    qb = q_ref.shape[1]
+    kv_len = k0_ref.shape[1]
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dk0_ref[0] = jnp.zeros_like(dk0_ref[0])
+        dv0_ref[0] = jnp.zeros_like(dv0_ref[0])
+
+    scores_old = jax.lax.dot_general(q_ref[0], k0_ref[0], (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    row_frame = (i * qb + jax.lax.broadcasted_iota(jnp.int32, (qb, kv_len), 0)) // L
+    col_frame = jax.lax.broadcasted_iota(jnp.int32, (qb, kv_len), 1) // L
+    scores_old = jnp.where(row_frame > col_frame, scores_old, _NEG_INF)
+    scores_new = jax.lax.dot_general(q_ref[0], kb_ref[0], (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    row_frame_n = jax.lax.broadcasted_iota(jnp.int32, (qb, qb), 0) // L
+    col_frame_n = jax.lax.broadcasted_iota(jnp.int32, (qb, qb), 1) // L
+    scores_new = jnp.where(row_frame_n == col_frame_n, scores_new, _NEG_INF)
+
+    m = jnp.maximum(jnp.max(scores_old, -1, keepdims=True),
+                    jnp.max(scores_new, -1, keepdims=True))
+    e_old = jnp.exp(scores_old - m)
+    e_new = jnp.exp(scores_new - m)
+    denom = jnp.sum(e_old, -1, keepdims=True) + jnp.sum(e_new, -1, keepdims=True)
+    w_old = e_old / denom
+    w_new = e_new / denom
+    idx_old, idx_new = _branch_weight_indices(i, qb, kv_len, L)
+    keep_old = _hash_keep(seed_ref, idx_old, rate)
+    keep_new = _hash_keep(seed_ref, idx_new, rate)
+
+    do = do_ref[0]
+    dw_old = jax.lax.dot_general(do, v0_ref[0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * keep_old
+    dw_new = jax.lax.dot_general(do, vb_ref[0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * keep_new
+    rowsum = jnp.sum(dw_old * w_old, -1, keepdims=True) + \
+        jnp.sum(dw_new * w_new, -1, keepdims=True)
+    ds_old = (w_old * (dw_old - rowsum)).astype(k0_ref.dtype)
+    ds_new = (w_new * (dw_new - rowsum)).astype(kb_ref.dtype)
+
+    dq = jax.lax.dot_general(ds_old, k0_ref[0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq = dq + jax.lax.dot_general(ds_new, kb_ref[0], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk0_ref[0] += jax.lax.dot_general(ds_old, q_ref[0], (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    dv0_ref[0] += jax.lax.dot_general((w_old * keep_old).astype(do.dtype), do,
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    dkb_ref[0] = jax.lax.dot_general(
+        ds_new, q_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dkb_ref.dtype)
+    dvb_ref[0] = jax.lax.dot_general(
+        (w_new * keep_new).astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dvb_ref.dtype)
+
+
+def _run_block_causal_do(q, k, v, seeds, L, rate, interpret=False):
+    BH, TL, dh = q.shape
+    qb = _pick_q_block(TL, L)
+    tile = pl.BlockSpec((1, qb, dh), lambda b, i: (b, i, 0))
+    full = pl.BlockSpec((1, TL, dh), lambda b, i: (b, 0, 0))
+    seed = pl.BlockSpec((1, 2), lambda b, i: (0, 0))
+    return pl.pallas_call(
+        functools.partial(_block_causal_do_kernel3, L, rate),
+        grid=(BH, TL // qb),
+        in_specs=[seed, tile, full, full],
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(seeds, q, k, v)
+
+
+def _run_block_causal_do_bwd(q, k, v, seeds, do, L, rate, interpret=False):
+    BH, TL, dh = q.shape
+    qb = _pick_q_block(TL, L)
+    tile = pl.BlockSpec((1, qb, dh), lambda b, i: (b, i, 0))
+    full = pl.BlockSpec((1, TL, dh), lambda b, i: (b, 0, 0))
+    seed = pl.BlockSpec((1, 2), lambda b, i: (0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_block_causal_do_bwd_kernel3, L, rate),
+        grid=(BH, TL // qb),
+        in_specs=[seed, tile, full, full, tile],
+        out_specs=[tile, full, full],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct((BH, TL, dh), jnp.float32),
+                   jax.ShapeDtypeStruct((BH, TL, dh), jnp.float32)],
+        interpret=interpret,
+    )(seeds, q, k, v, do)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _run_branch_do(q, k0, v0, kb, vb, seeds, L, rate, interpret=False):
+    SBH, TL, dh = q.shape
+    qb = _pick_q_block(TL, L)
+    tile = pl.BlockSpec((1, qb, dh), lambda b, i: (b, i, 0))
+    full = pl.BlockSpec((1, TL, dh), lambda b, i: (b, 0, 0))
+    seed = pl.BlockSpec((1, 2), lambda b, i: (0, 0))
+    return pl.pallas_call(
+        functools.partial(_branch_do_kernel3, L, rate),
+        grid=(SBH, TL // qb),
+        in_specs=[seed, tile, full, full, tile, tile],
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(seeds, q, k0, v0, kb, vb)
+
+
+def _run_branch_do_bwd(q, k0, v0, kb, vb, seeds, do, L, rate, interpret=False):
+    SBH, TL, dh = q.shape
+    qb = _pick_q_block(TL, L)
+    tile = pl.BlockSpec((1, qb, dh), lambda b, i: (b, i, 0))
+    full = pl.BlockSpec((1, TL, dh), lambda b, i: (b, 0, 0))
+    seed = pl.BlockSpec((1, 2), lambda b, i: (0, 0))
+    dq, dk0, dv0, dkb, dvb = pl.pallas_call(
+        functools.partial(_branch_do_bwd_kernel3, L, rate),
+        grid=(SBH, TL // qb),
+        in_specs=[seed, tile, full, full, tile, tile, tile],
+        out_specs=[tile, full, full, tile, tile],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct((SBH, TL, dh), jnp.float32),
+                   jax.ShapeDtypeStruct((SBH, TL, dh), jnp.float32),
+                   jax.ShapeDtypeStruct(kb.shape, kb.dtype),
+                   jax.ShapeDtypeStruct(vb.shape, vb.dtype)],
+        interpret=interpret,
+    )(seeds, q, k0, v0, kb, vb, do)
+    return dq, dk0, dv0, dkb, dvb
+
+
+# ---------------------------------------------------------------------------
 # Public API with fused-backward custom_vjp
 # ---------------------------------------------------------------------------
 
@@ -359,3 +629,82 @@ def _fb_bwd(L, residuals, g):
 
 
 fused_branch_attention.defvjp(_fb_fwd, _fb_bwd)
+
+
+def _float0_zeros(x):
+    """Cotangent for integer inputs (the dropout seeds) in custom_vjp."""
+    import numpy as np
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_block_causal_attention_dropout(q, k, v, seeds, L, rate):
+    """Stream-0 attention with in-kernel hash dropout on the softmax weights.
+    seeds: uint32[1, 2] (seed_words of the layer's dropout rng); rate is a
+    static Python float."""
+    B, H, T, Lq, dh = q.shape
+    r = lambda x: x.reshape(B * H, T * Lq, dh)  # noqa: E731
+    out = _run_block_causal_do(r(q), r(k), r(v), seeds, L, rate)
+    return out.reshape(q.shape)
+
+
+def _fbcd_fwd(q, k, v, seeds, L, rate):
+    return fused_block_causal_attention_dropout(q, k, v, seeds, L, rate), \
+        (q, k, v, seeds)
+
+
+def _fbcd_bwd(L, rate, residuals, g):
+    q, k, v, seeds = residuals
+    B, H, T, Lq, dh = q.shape
+    r = lambda x: x.reshape(B * H, T * Lq, dh)  # noqa: E731
+    dq, dk, dv = _run_block_causal_do_bwd(r(q), r(k), r(v), seeds,
+                                          r(g.astype(q.dtype)), L, rate)
+    return (dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape),
+            _float0_zeros(seeds))
+
+
+fused_block_causal_attention_dropout.defvjp(_fbcd_fwd, _fbcd_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_branch_attention_dropout(q_branches, k0, v0, k_branches, v_branches,
+                                   seeds, L, rate):
+    """Branch attention with in-kernel hash dropout (joint softmax weights)."""
+    S, B, H, T, Lq, dh = q_branches.shape
+    TL = T * Lq
+    rf = lambda x: x.reshape(S * B * H, TL, dh)  # noqa: E731
+    k0f = jnp.broadcast_to(k0.reshape(1, B * H, TL, dh),
+                           (S, B * H, TL, dh)).reshape(S * B * H, TL, dh)
+    v0f = jnp.broadcast_to(v0.reshape(1, B * H, TL, dh),
+                           (S, B * H, TL, dh)).reshape(S * B * H, TL, dh)
+    out = _run_branch_do(rf(q_branches), k0f, v0f, rf(k_branches),
+                         rf(v_branches), seeds, L, rate)
+    return out.reshape(q_branches.shape)
+
+
+def _fbd_fwd(q_branches, k0, v0, k_branches, v_branches, seeds, L, rate):
+    return (fused_branch_attention_dropout(q_branches, k0, v0, k_branches,
+                                           v_branches, seeds, L, rate),
+            (q_branches, k0, v0, k_branches, v_branches, seeds))
+
+
+def _fbd_bwd(L, rate, residuals, g):
+    q_branches, k0, v0, k_branches, v_branches, seeds = residuals
+    S, B, H, T, Lq, dh = q_branches.shape
+    TL = T * Lq
+    rf = lambda x: x.reshape(S * B * H, TL, dh)  # noqa: E731
+    k0f = jnp.broadcast_to(k0.reshape(1, B * H, TL, dh),
+                           (S, B * H, TL, dh)).reshape(S * B * H, TL, dh)
+    v0f = jnp.broadcast_to(v0.reshape(1, B * H, TL, dh),
+                           (S, B * H, TL, dh)).reshape(S * B * H, TL, dh)
+    dq, dk0, dv0, dkb, dvb = _run_branch_do_bwd(
+        rf(q_branches), k0f, v0f, rf(k_branches), rf(v_branches), seeds,
+        rf(g.astype(q_branches.dtype)), L, rate)
+    dk0 = dk0.reshape((S,) + k0.shape).sum(0).astype(k0.dtype)
+    dv0 = dv0.reshape((S,) + v0.shape).sum(0).astype(v0.dtype)
+    return (dq.reshape(q_branches.shape), dk0, dv0,
+            dkb.reshape(k_branches.shape), dvb.reshape(v_branches.shape),
+            _float0_zeros(seeds))
+
+
+fused_branch_attention_dropout.defvjp(_fbd_fwd, _fbd_bwd)

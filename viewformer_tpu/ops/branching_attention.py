@@ -215,7 +215,55 @@ def multi_end_block_attention(kset, vset, qset, dropout_rate=0.0, dropout_rng=No
     fused, anything else -> dense), so the same traced program works on a CPU
     mesh and the TPU. True forces fused, False disables."""
     B, H, T, L, dh = qset[0].shape
-    if use_fused in ('auto', True) and (dropout_rng is None or dropout_rate <= 0.0):
+    dropout_active = dropout_rng is not None and dropout_rate > 0.0
+    if use_fused in ('auto', True) and dropout_active:
+        from . import attention_pallas
+        if use_fused is True or attention_pallas.supported(T, L, dh):
+            # TPU: fused kernels with IN-KERNEL hash dropout on the attention
+            # weights (mask regenerated from (seeds, index) in the backward —
+            # no mask residual). Other platforms: the dense path below with
+            # the caller-selected dropout impl. The Bernoulli(1-rate)
+            # marginal matches; the noise stream is platform-specific.
+            rng0, rng1 = jax.random.split(dropout_rng)
+            seeds0 = attention_pallas.seed_words(rng0)
+            seeds1 = attention_pallas.seed_words(rng1)
+
+            def fused_path(q0, k0, v0, s0, s1, r0, r1, *branches):
+                out0 = attention_pallas.fused_block_causal_attention_dropout(
+                    q0, k0, v0, s0, L, dropout_rate)
+                outputs = (out0,)
+                if branches:
+                    n = len(branches) // 3
+                    qb = jnp.stack(branches[:n], 0)
+                    kb = jnp.stack(branches[n:2 * n], 0)
+                    vb = jnp.stack(branches[2 * n:], 0)
+                    outs = attention_pallas.fused_branch_attention_dropout(
+                        qb, k0, v0, kb, vb, s1, L, dropout_rate)
+                    outputs = outputs + tuple(outs[i] for i in range(outs.shape[0]))
+                return outputs
+
+            def dense_path(q0, k0, v0, s0, s1, r0, r1, *branches):
+                out0 = block_causal_attention(q0, k0, v0, dropout_rate, r0,
+                                              dropout_impl)
+                outputs = (out0,)
+                if branches:
+                    n = len(branches) // 3
+                    qb = jnp.stack(branches[:n], 0)
+                    kb = jnp.stack(branches[n:2 * n], 0)
+                    vb = jnp.stack(branches[2 * n:], 0)
+                    outs = branch_attention(qb, k0, v0, kb, vb, dropout_rate,
+                                            r1, dropout_impl)
+                    outputs = outputs + tuple(outs[i] for i in range(outs.shape[0]))
+                return outputs
+
+            args = (qset[0], kset[0], vset[0], seeds0, seeds1, rng0, rng1) \
+                + tuple(qset[1:]) + tuple(kset[1:]) + tuple(vset[1:])
+            if use_fused is True:
+                return fused_path(*args)
+            return jax.lax.platform_dependent(*args, tpu=fused_path,
+                                              default=dense_path)
+
+    if use_fused in ('auto', True) and not dropout_active:
         from . import attention_pallas
         if use_fused is True or attention_pallas.supported(T, L, dh):
             def fused_path(q0, k0, v0, *branches):
