@@ -271,6 +271,36 @@ def test_fused_branch_dropout_matches_masked_dense():
         mod._run_branch_do, mod._run_branch_do_bwd = origs
 
 
+def test_multi_end_forced_fused_dropout_wiring():
+    """use_fused=True with dropout exercises the full dispatch wiring (rng ->
+    seed_words -> dropout kernels) in interpret mode: deterministic per key,
+    different across keys, finite."""
+    from viewformer_tpu.ops.branching_attention import multi_end_block_attention
+
+    import viewformer_tpu.ops.attention_pallas as mod
+    origs = (mod._run_block_causal_do, mod._run_branch_do)
+    mod._run_block_causal_do = lambda *a, **kw: origs[0](*a, interpret=True)
+    mod._run_branch_do = lambda *a, **kw: origs[1](*a, interpret=True)
+    try:
+        rs = np.random.RandomState(1)
+        mk = lambda: jnp.asarray(rs.randn(1, 1, T, L, DH), jnp.float32)  # noqa: E731
+        kset, vset, qset = (mk(), mk()), (mk(), mk()), (mk(), mk())
+        r1, r2 = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+        a = multi_end_block_attention(kset, vset, qset, dropout_rate=0.25,
+                                      dropout_rng=r1, use_fused=True)
+        b = multi_end_block_attention(kset, vset, qset, dropout_rate=0.25,
+                                      dropout_rng=r1, use_fused=True)
+        c = multi_end_block_attention(kset, vset, qset, dropout_rate=0.25,
+                                      dropout_rng=r2, use_fused=True)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        assert all(np.isfinite(np.asarray(x)).all() for x in a)
+        assert max(np.abs(np.asarray(x) - np.asarray(y)).max()
+                   for x, y in zip(a, c)) > 1e-3
+    finally:
+        mod._run_block_causal_do, mod._run_branch_do = origs
+
+
 def test_multi_end_dispatch_with_dropout_cpu_matches_dense():
     """On CPU the dropout dispatch's platform_dependent must take the dense
     branch and equal the plain dense implementation (same rng splits)."""
