@@ -238,6 +238,11 @@ def serve(verbose=False):
 
 if __name__ == '__main__':
     import sys
+    unknown = set(sys.argv[1:]) - {'-v', '--serve'}
+    if unknown:
+        print(f'bench.py: unknown argument(s): {" ".join(sorted(unknown))} '
+              f'(supported: --serve, -v)', file=sys.stderr)
+        sys.exit(2)
     if '--serve' in sys.argv:
         serve(verbose='-v' in sys.argv)
     else:
