@@ -247,8 +247,16 @@ def import_migt_from_tf(variables, config):
         map_ln(blk + ('ln_2',), f'h.{i}/ln_2')
         map_mlp(blk + ('mlp',), f'h.{i}/mlp')
     map_ln(('ln_f',), 'ln_f')
+    # use_dynamic_pose_loss trains per-task log-variances; the flax model
+    # declares them as a TOP-LEVEL param (models/migt.py:236 ->
+    # params['pos_ori_weights']), matching ref migt.py:82-97 where the
+    # weighting criterion owns a single [2] variable.
     if 'pose_loss_weighting_criterion/pos_ori_weights' in variables:
-        _set(params, ('pose_loss_weighting', 'pos_ori_weights'),
-             take('pose_loss_weighting_criterion/pos_ori_weights'))
+        _set(params, ('pos_ori_weights',),
+             take('pose_loss_weighting_criterion/pos_ori_weights').reshape(2)
+             .astype(np.float32))
 
+    unconsumed = set(variables) - consumed
+    assert not unconsumed, \
+        f'Unconsumed TF checkpoint variables: {sorted(unconsumed)[:10]}'
     return {'params': params}
