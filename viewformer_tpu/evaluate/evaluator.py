@@ -26,9 +26,10 @@ class Evaluator:
             M.MeanAbsoluteError('mae'),
             M.PSNRMetric('psnr'),
             M.SSIMMetric('ssim')]
-        lpips = M.LPIPSMetric('vgg', name='lpips')
-        if lpips.available:
-            self._image_generation_metrics.insert(4, lpips)
+        # lpips is ALWAYS in the report (the reference always includes it,
+        # ref utils/metrics.py:130-142); when calibration weights are
+        # unavailable it is recorded as null rather than silently omitted.
+        self._image_generation_metrics.insert(4, M.LPIPSMetric('vgg', name='lpips'))
 
     def update_with_image(self, ground_truth_images, generated_images):
         ground_truth_images = np.asarray(ground_truth_images)
@@ -58,7 +59,7 @@ class Evaluator:
         for m in self._image_generation_metrics:
             if m.name == 'psnr':
                 info['img_psnr'] = float(m.result())
-            if m.name == 'lpips':
+            if m.name == 'lpips' and getattr(m, 'available', True):
                 info['img_lpips'] = float(m.result())
         for m in self._localization_metrics:
             if m.name == 'loc-dist':
@@ -69,7 +70,7 @@ class Evaluator:
 
     def result(self):
         return OrderedDict(
-            (m.name, float(m.result()))
+            (m.name, None if not getattr(m, 'available', True) else float(m.result()))
             for m in list(self._localization_metrics) + list(self._image_generation_metrics))
 
 
@@ -105,7 +106,11 @@ def print_metrics(metrics, precision=4):
     yheader = list(metrics.keys())
     xheader = list(next(iter(metrics.values())).keys())
     fmt = f'{{0:.{precision}f}}'
-    rows = [[ctx] + [fmt.format(metrics[ctx][m]) for m in xheader] for ctx in yheader]
+
+    def cell(v):
+        return 'n/a' if v is None else fmt.format(v)
+
+    rows = [[ctx] + [cell(metrics[ctx][m]) for m in xheader] for ctx in yheader]
     widths = [max(len(r[j]) for r in rows + [[''] + xheader]) for j in range(len(rows[0]))]
     header = '  '.join(h.rjust(w) for h, w in zip([''] + xheader, widths))
     print(' ' + header)

@@ -15,8 +15,8 @@ import numpy as np
 
 from ..ops.image import resize
 from .evaluator import MultiContextEvaluator, print_metrics
-from .transformer import (from_relative_cameras, normalize_cameras,
-                          pad_batch_for_jit, to_relative_cameras)
+from .transformer import (JitCallCache, from_relative_cameras,
+                          normalize_cameras, to_relative_cameras)
 
 
 def make_generate_batch_predictions(transformer_model, transformer_vars,
@@ -81,19 +81,22 @@ def make_generate_batch_predictions(transformer_model, transformer_vars,
     return functools.partial(predict, transformer_variables, codebook_variables)
 
 
+_CACHE = JitCallCache()
+
+
 def generate_batch_predictions(transformer_model, transformer_vars, codebook_model,
-                               codebook_vars, images, cameras, _cache={}):
-    key = (id(transformer_vars), id(codebook_vars), images.shape[1:])
-    if key not in _cache:
-        _cache[key] = make_generate_batch_predictions(
-            transformer_model, transformer_vars, codebook_model, codebook_vars)
-    predict = _cache[key]
+                               codebook_vars, images, cameras, _cache=None):
+    cache = _cache if _cache is not None else _CACHE
+    key, predict = cache.get_or_build(
+        (transformer_vars, codebook_vars), (images.shape[1:],),
+        lambda: make_generate_batch_predictions(
+            transformer_model, transformer_vars, codebook_model, codebook_vars))
     images = np.asarray(images)
     fimages = resize(images.reshape((-1,) + images.shape[2:]),
                      codebook_model.config.image_size)
     fimages = fimages.reshape(images.shape[:2] + fimages.shape[1:])
     fimages = fimages.astype(np.float32) / 255.0 * 2.0 - 1.0
-    (fimages, cameras), b = pad_batch_for_jit(
+    (fimages, cameras), b = cache.pad_batch(
         key, [fimages, np.asarray(cameras, np.float32)])
     out = jax.device_get(predict(jnp.asarray(fimages), jnp.asarray(cameras)))
     return dict(

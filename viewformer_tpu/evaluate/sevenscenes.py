@@ -294,7 +294,7 @@ def evaluate_sevenscenes(path, transformer_checkpoint, codebook_checkpoint, job_
         all_results[scene] = result
         print(f'Results on {scene}:')
         for m, val in result.items():
-            print(f'    {m}: {val:.6f}')
+            print(f'    {m}: ' + ('n/a' if val is None else f'{val:.6f}'))
         os.makedirs(os.path.join(job_dir, scene), exist_ok=True)
         with open(os.path.join(job_dir, scene, 'results.json'), 'w') as f:
             json.dump(result, f)

@@ -114,15 +114,43 @@ def make_generate_batch_predictions(transformer_model, transformer_vars,
     return functools.partial(predict, transformer_variables, codebook_variables)
 
 
-def pad_batch_for_jit(key, arrays, _sizes={}):
+class JitCallCache:
+    """Per-variables compiled-fn + pad-size cache for the evaluation drivers.
+
+    Keys include ``id()`` of the variable pytrees, and the cache pins a
+    STRONG reference to every keyed object — an id can never be recycled by
+    the allocator while its owner is still referenced, so a stale compiled fn
+    or pad size can't be served after GC in a long multi-model process."""
+
+    def __init__(self):
+        self._fns = {}
+        self._anchors = []  # strong refs that make the id() keys permanent
+        self._pad_sizes = {}
+
+    def get_or_build(self, anchors, extra_key, builder):
+        """-> (key, fn); `builder()` is called once per (anchors, extra_key)."""
+        key = tuple(map(id, anchors)) + tuple(extra_key)
+        fn = self._fns.get(key)
+        if fn is None:
+            self._anchors.append(tuple(anchors))
+            fn = self._fns[key] = builder()
+        return key, fn
+
+    def pad_batch(self, key, arrays):
+        return pad_batch_for_jit(key, arrays, self._pad_sizes)
+
+
+def pad_batch_for_jit(key, arrays, sizes=None):
     """Pad leading batch dims up to the largest batch already compiled for
     this jit-cache key (by repeating the last sample), so the tail batch of
     an evaluation never specializes a second XLA program — a full-size
     recompile costs minutes on TPU. Returns (padded_arrays, valid_count)."""
+    if sizes is None:
+        sizes = _PAD_SIZES
     b = arrays[0].shape[0]
-    target = _sizes.get(key, 0)
+    target = sizes.get(key, 0)
     if b > target:
-        _sizes[key] = target = b
+        sizes[key] = target = b
     if b == target:
         return arrays, b
     pad = target - b
@@ -130,22 +158,26 @@ def pad_batch_for_jit(key, arrays, _sizes={}):
             for a in arrays], b
 
 
+_PAD_SIZES = {}
+_CACHE = JitCallCache()
+
+
 def generate_batch_predictions(transformer_model, transformer_vars, codebook_model,
-                               codebook_vars, images, cameras, _cache={}):
+                               codebook_vars, images, cameras, _cache=None):
     """Host-facing wrapper: uint8 frames [B,S,H,W,C] + cameras [B,S,7] ->
     numpy prediction dict (ref evaluate_transformer.py:97-146)."""
-    key = (id(transformer_vars), id(codebook_vars), images.shape[1:])
-    if key not in _cache:
-        _cache[key] = make_generate_batch_predictions(
-            transformer_model, transformer_vars, codebook_model, codebook_vars)
-    predict = _cache[key]
+    cache = _cache if _cache is not None else _CACHE
+    key, predict = cache.get_or_build(
+        (transformer_vars, codebook_vars), (images.shape[1:],),
+        lambda: make_generate_batch_predictions(
+            transformer_model, transformer_vars, codebook_model, codebook_vars))
 
     images = np.asarray(images)
     fimages = resize(images.reshape((-1,) + images.shape[2:]),
                      codebook_model.config.image_size)
     fimages = fimages.reshape(images.shape[:2] + fimages.shape[1:])
     fimages = fimages.astype(np.float32) / 255.0 * 2.0 - 1.0
-    (fimages, cameras), b = pad_batch_for_jit(
+    (fimages, cameras), b = cache.pad_batch(
         key, [fimages, np.asarray(cameras, np.float32)])
     out = jax.device_get(predict(jnp.asarray(fimages), jnp.asarray(cameras)))
     return dict(
@@ -250,5 +282,5 @@ def evaluate_transformer(loader, transformer_checkpoint, codebook_checkpoint, jo
         json.dump(result, f, indent=4)
     print('Results:')
     for m, val in result.items():
-        print(f'    {m}: {val:.6f}')
+        print(f'    {m}: ' + ('n/a' if val is None else f'{val:.6f}'))
     return result

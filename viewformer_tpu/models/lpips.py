@@ -13,6 +13,7 @@ perceptual term/metric as unavailable.
 """
 import functools
 import os
+import sys
 
 import numpy as np
 import jax
@@ -115,7 +116,13 @@ def convert_lpips_weights_from_torch(out_path=None, net='vgg'):
 
 @functools.lru_cache(maxsize=2)
 def load_lpips(net='vgg'):
-    """Load the jax LPIPS model, or None when weights are unavailable."""
+    """Load the jax LPIPS model, or None when weights are unavailable.
+
+    Unavailability is LOUD (one stderr warning per process): the reference
+    always trains the codebook with the LPIPS(VGG) perceptual term
+    (ref vqgan_th.py:400-414) and always reports the lpips eval metric
+    (ref utils/metrics.py:130-142), so running without it diverges from
+    reference behavior and must never happen silently."""
     if net != 'vgg':
         return None
     for path in _WEIGHT_PATHS:
@@ -128,5 +135,14 @@ def load_lpips(net='vgg'):
         data = np.load(path)
         params = {k: jnp.asarray(data[k]) for k in data.files}
         return LPIPS(params)
-    except Exception:
+    except Exception as exc:  # lru_cache => warning fires once per process
+        print(
+            f'WARNING: LPIPS({net}) calibration weights are unavailable '
+            f'(conversion failed: {exc!r}; searched {_WEIGHT_PATHS}). '
+            'The perceptual loss term and the lpips metric will be reported '
+            'as NaN/null — training dynamics and results.json DIVERGE from '
+            'the reference until weights are provided (run '
+            'models.lpips.convert_lpips_weights_from_torch on a machine with '
+            'cached torchvision/lpips weights and copy the npz).',
+            file=sys.stderr)
         return None

@@ -11,6 +11,7 @@ quantizer statistics reduced implicitly (see ops/quantizer.py).
 """
 import functools
 import os
+import sys
 from typing import Any, NamedTuple
 
 import jax
@@ -74,6 +75,10 @@ def codebook_loss_fn(model, config, lpips_params, params, quantizer, batch):
         p_loss = jnp.mean(_lpips_forward(lpips_params, x[..., :3], dec[..., :3]))
         loss = loss + config.perceptual_weight * p_loss
         metrics['p_loss'] = p_loss
+    elif config.perceptual_weight > 0:
+        # weights unavailable: the term is DROPPED (reference always trains
+        # with it, ref vqgan_th.py:400-414) — report NaN, never a fake 0
+        metrics['p_loss'] = jnp.full((), jnp.nan)
     else:
         metrics['p_loss'] = jnp.zeros(())
     loss = loss + config.codebook_weight * e_latent_loss
@@ -174,6 +179,11 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
 
     lpips = load_lpips('vgg') if config.perceptual_weight > 0 else None
     lpips_params = lpips._params if lpips is not None else None
+    if config.perceptual_weight > 0 and lpips_params is None:
+        print(f'WARNING: training with perceptual_weight={config.perceptual_weight} '
+              'but WITHOUT the LPIPS term (weights unavailable) — loss function '
+              'diverges from the reference; p_loss is logged as NaN.',
+              file=sys.stderr)
 
     ckpt = CheckpointManager(job_dir, config)
     start_step = 0
