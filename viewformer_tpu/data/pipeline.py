@@ -54,6 +54,49 @@ def _select_host_shards(paths, host_id, num_hosts):
     return [p for i, p in enumerate(paths) if i % num_hosts == host_id]
 
 
+def _interleave(factories, cycle_length):
+    """Round-robin (block_length=1) interleave over lazily-opened streams.
+
+    Mirrors tf.data interleave semantics the reference relies on for
+    cross-shard mixing (ref tfrecord_dataset.py:113-115,150-152): up to
+    `cycle_length` streams are open at once, one item is drawn from each in
+    turn, and an exhausted slot is refilled from the next factory.
+    `factories` is any iterable of zero-arg callables returning iterables —
+    it may itself be lazy (used for environment-level interleave where
+    environments stream out of the shard interleave)."""
+    factories = iter(factories)
+    active = []
+
+    def refill():
+        while len(active) < cycle_length:
+            try:
+                factory = next(factories)
+            except StopIteration:
+                return
+            active.append(iter(factory()))
+
+    refill()
+    idx = 0
+    while active:
+        if idx >= len(active):
+            idx = 0
+        try:
+            item = next(active[idx])
+        except StopIteration:
+            active.pop(idx)
+            refill()
+            continue
+        yield item
+        idx += 1
+
+
+# Shard-level interleave width (the reference uses AUTOTUNE; a fixed small
+# fan-in keeps seeded determinism) and environment-level width (ref
+# tfrecord_dataset.py:175 cycle_length=8).
+INTERLEAVE_SHARDS = 4
+INTERLEAVE_ENVIRONMENTS = 8
+
+
 def _local_shuffle(iterator, buffer_size, rng):
     buffer = []
     for item in iterator:
@@ -125,11 +168,15 @@ def load_image_dataset(path, batch_size, image_size, split='train', repeat=None,
         if shuffle:
             rng.shuffle(epoch_paths)
 
+        def shard_stream(shard):
+            return lambda: (decode_example(payload)['frames']
+                            for payload in read_records(shard))
+
         def raw_frames():
-            for shard in epoch_paths:
-                for payload in read_records(shard):
-                    example = decode_example(payload)
-                    yield from example['frames']
+            # cross-shard record interleave (ref tfrecord_dataset.py:113-115)
+            for frame_list in _interleave(map(shard_stream, epoch_paths),
+                                          INTERLEAVE_SHARDS):
+                yield from frame_list
 
         frames = raw_frames()
         if shuffle:
@@ -204,29 +251,41 @@ def load_token_dataset(path, batch_size, sequence_size, token_image_size,
         if shuffle:
             rng.shuffle(epoch_paths)
 
+        def environment_samples(example):
+            poses = np.asarray(example['cameras'], np.float32).reshape(-1, poses_num_dim)
+            if poses_num_dim == 5:
+                poses = fix_legacy_gqn_cameras(poses)
+            tokens = np.asarray(example['codes'], np.int64).reshape(
+                -1, token_image_size, token_image_size)
+            n = len(poses)
+            if shuffle:
+                perm = np_rng.permutation(n)
+                poses, tokens = poses[perm], tokens[perm]
+            count = 0
+            for i in range(n // sequence_size):
+                if 0 <= max_samples_per_environment <= count:
+                    break
+                sl = slice(i * sequence_size, (i + 1) * sequence_size)
+                sample = (poses[sl], tokens[sl])
+                if transform is not None:
+                    sample = transform(*sample, split=split)
+                yield sample
+                count += 1
+
+        def shard_stream(shard):
+            return lambda: (decode_example(payload)
+                            for payload in read_records(shard))
+
         def samples():
-            for shard in epoch_paths:
-                for payload in read_records(shard):
-                    example = decode_example(payload)
-                    poses = np.asarray(example['cameras'], np.float32).reshape(-1, poses_num_dim)
-                    if poses_num_dim == 5:
-                        poses = fix_legacy_gqn_cameras(poses)
-                    tokens = np.asarray(example['codes'], np.int64).reshape(
-                        -1, token_image_size, token_image_size)
-                    n = len(poses)
-                    if shuffle:
-                        perm = np_rng.permutation(n)
-                        poses, tokens = poses[perm], tokens[perm]
-                    count = 0
-                    for i in range(n // sequence_size):
-                        if 0 <= max_samples_per_environment <= count:
-                            break
-                        sl = slice(i * sequence_size, (i + 1) * sequence_size)
-                        sample = (poses[sl], tokens[sl])
-                        if transform is not None:
-                            sample = transform(*sample, split=split)
-                        yield sample
-                        count += 1
+            # two-level interleave like the reference: records round-robin
+            # across shards (ref tfrecord_dataset.py:150-152), then sequence
+            # chunks round-robin across 8 open environments (ref :175)
+            environments = _interleave(map(shard_stream, epoch_paths),
+                                       INTERLEAVE_SHARDS)
+            env_factories = (
+                (lambda example=example: environment_samples(example))
+                for example in environments)
+            yield from _interleave(env_factories, INTERLEAVE_ENVIRONMENTS)
 
         stream = samples()
         if shuffle:
