@@ -43,6 +43,184 @@ print(f'proc {process_id} OK', flush=True)
 '''
 
 
+# Full train steps across processes: the real multi-host claim. On a
+# 2-process x 1-device mesh vs the same global mesh in ONE process with 2
+# virtual devices (which existing tests pin to the single-device result),
+# compare:
+#   - the full GRADIENT pytrees of both train steps (the cross-process
+#     all-reduce that data parallelism is) and the losses,
+#   - the EMA quantizer statistics after a codebook step (the in-model
+#     collective, ref models/utils_th.py:51-52 / models/utils.py:151-154),
+#   - integer state (step counters, EMA counter) exactly.
+# Then run 2 full optimizer steps in each topology to prove the whole path
+# (AdamW + per-tensor clip + dropout rng + donated state) executes
+# cross-process, asserting the final losses agree.
+# Tolerance note: XLA may pick a different all-reduce implementation across
+# processes than within one, so summation ORDER (the last float bit) is not
+# guaranteed. Gradients/EMA stats compare at reduction-order tolerance.
+# Post-Adam PARAMS are deliberately not compared bitwise: the first Adam
+# update is ~sign(g)*lr, so last-bit gradient noise on near-zero coordinates
+# flips whole update steps (observed: abs diffs up to ~2e-4 at lr=1e-3 with
+# all gradients matching at 1e-6) — that is float amplification, not a
+# plumbing difference.
+_TRAIN_WORKER = r'''
+import os, sys
+mode = sys.argv[1]
+out_path = sys.argv[2]
+if mode == 'single':
+    os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+import jax
+jax.config.update('jax_platforms', 'cpu')
+if mode == 'multi':
+    coordinator, process_id = sys.argv[3], int(sys.argv[4])
+    jax.distributed.initialize(coordinator_address=coordinator, num_processes=2,
+                               process_id=process_id)
+else:
+    process_id = 0
+import numpy as np
+import jax.numpy as jnp
+sys.path.insert(0, os.environ['REPO'])
+from viewformer_tpu.config import MIGTConfig, VQGANConfig
+from viewformer_tpu.parallel import mesh as mesh_lib
+from viewformer_tpu.train.transformer import (create_transformer_optimizer,
+                                              init_transformer_state,
+                                              make_transformer_train_step)
+from viewformer_tpu.train.codebook import (create_codebook_optimizer,
+                                           init_codebook_state,
+                                           make_codebook_train_step)
+from viewformer_tpu.utils.schedules import Schedule
+
+assert jax.device_count() == 2, jax.device_count()
+mesh = mesh_lib.create_mesh()
+results = {}
+
+# --- transformer step (dropout 0.1 exercises the rng path) ---
+tconfig = MIGTConfig(n_embeddings=16, n_head=2, d_model=32, n_layer=2, dropout=0.1,
+                     sequence_size=4, token_image_size=2, total_steps=100,
+                     n_loss_skip=1, learning_rate=1e-3, weight_decay=0.01,
+                     batch_size=4, localization_weight=Schedule.from_str('1'))
+optimizer, _ = create_transformer_optimizer(tconfig)
+model, state = init_transformer_state(tconfig, jax.random.PRNGKey(0), optimizer)
+state = mesh_lib.replicate(mesh, state)
+step_fn = make_transformer_train_step(model, tconfig, optimizer, donate=False)
+rs = np.random.RandomState(0)
+poses = rs.randn(4, 4, 7).astype(np.float32)
+poses[..., 3:] /= np.linalg.norm(poses[..., 3:], axis=-1, keepdims=True)
+tokens = rs.randint(0, 16, (4, 4, 2, 2)).astype(np.int32)
+if mode == 'multi':
+    lo, hi = process_id * 2, process_id * 2 + 2
+    local = (poses[lo:hi], tokens[lo:hi])
+else:
+    local = (poses, tokens)
+key = jax.random.PRNGKey(1)
+
+@jax.jit
+def t_grads(params, batch, rng):
+    poses_, tokens_ = batch
+    dropout_rng, pose_rng = jax.random.split(jax.random.fold_in(rng, 0))
+    def loss_fn(p):
+        out = model.apply({'params': p}, poses_, tokens_, compute_losses=True,
+                          deterministic=False, step=jnp.zeros((), jnp.int32),
+                          rngs={'dropout': dropout_rng, 'pose_noise': pose_rng})
+        return jnp.mean(out['loss'])
+    return jax.value_and_grad(loss_fn)(params)
+
+with mesh:
+    batch = mesh_lib.shard_batch(mesh, local)
+    loss0, grads = t_grads(state.params, batch, key)
+    for _ in range(2):
+        batch = mesh_lib.shard_batch(mesh, local)
+        state, metrics = step_fn(state, batch, key)
+results['t_grad_loss'] = np.asarray(jax.device_get(loss0))
+results['t_loss'] = np.asarray(jax.device_get(metrics['loss']))
+results['t_step'] = np.asarray(jax.device_get(state.step))
+for i, leaf in enumerate(jax.tree.leaves(grads)):
+    results[f't_grad_{i}'] = np.asarray(jax.device_get(leaf))
+
+# --- codebook step (EMA quantizer stats reduced across the data axis) ---
+cconfig = VQGANConfig(ch=32, ch_mult=[1, 2], num_res_blocks=1, attn_resolutions=[],
+                      z_channels=32, embed_dim=8, n_embed=16, image_size=16,
+                      perceptual_weight=0.0, batch_size=8, learning_rate=1e-3)
+coptimizer = create_codebook_optimizer(cconfig)
+cmodel, cstate = init_codebook_state(cconfig, jax.random.PRNGKey(0), coptimizer)
+cstate = mesh_lib.replicate(mesh, cstate)
+cstep_fn = make_codebook_train_step(cmodel, cconfig, coptimizer, donate=False)
+images = np.random.RandomState(1).rand(8, 16, 16, 3).astype(np.float32) * 2 - 1
+clocal = images[process_id * 4:process_id * 4 + 4] if mode == 'multi' else images
+from viewformer_tpu.train.codebook import codebook_loss_fn
+import functools
+
+@jax.jit
+def c_grads(params, quantizer, batch):
+    def loss_fn(p):
+        loss, aux = codebook_loss_fn(cmodel, cconfig, None, p, quantizer, batch)
+        return loss, aux
+    (loss, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    return loss, grads
+
+with mesh:
+    cbatch = mesh_lib.shard_batch(mesh, clocal)
+    closs0, cgrads = c_grads(cstate.params, cstate.quantizer, cbatch)
+    for _ in range(2):
+        cbatch = mesh_lib.shard_batch(mesh, clocal)
+        cstate, cmetrics = cstep_fn(cstate, cbatch)
+results['c_grad_loss'] = np.asarray(jax.device_get(closs0))
+results['c_loss'] = np.asarray(jax.device_get(cmetrics['total_loss']))
+for i, leaf in enumerate(jax.tree.leaves(cgrads)):
+    results[f'c_grad_{i}'] = np.asarray(jax.device_get(leaf))
+# EMA quantizer statistics after 2 steps: the in-model cross-replica sums
+for i, leaf in enumerate(jax.tree.leaves(cstate.quantizer)):
+    results[f'c_quant_{i}'] = np.asarray(jax.device_get(leaf))
+
+if process_id == 0:
+    np.savez(out_path, **results)
+print(f'proc {process_id} TRAINOK', flush=True)
+'''
+
+
+@pytest.mark.slow
+def test_two_process_train_step_matches_single_process(tmp_path):
+    import numpy as np
+    script = tmp_path / 'train_worker.py'
+    script.write_text(_TRAIN_WORKER)
+    env = dict(os.environ)
+    env['REPO'] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env.pop('XLA_FLAGS', None)
+
+    multi_out = tmp_path / 'multi.npz'
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), 'multi', str(multi_out),
+         f'127.0.0.1:{port}', str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for i in range(2)]
+    outputs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f'multi process {i} failed:\n{out}'
+        assert f'proc {i} TRAINOK' in out
+
+    single_out = tmp_path / 'single.npz'
+    p = subprocess.run([sys.executable, str(script), 'single', str(single_out)],
+                       stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                       env=env, timeout=600)
+    assert p.returncode == 0, f'single-process run failed:\n{p.stdout.decode()}'
+
+    multi = np.load(str(multi_out))
+    single = np.load(str(single_out))
+    assert set(multi.files) == set(single.files)
+    for key in multi.files:
+        a, b = multi[key], single[key]
+        if np.issubdtype(a.dtype, np.integer):
+            np.testing.assert_array_equal(
+                a, b, err_msg=f'{key} differs between 2-process and '
+                              f'single-process runs')
+        else:
+            np.testing.assert_allclose(
+                a, b, rtol=1e-4, atol=1e-6,
+                err_msg=f'{key} differs between 2-process and '
+                        f'single-process runs beyond reduction-order noise')
+
+
 @pytest.mark.slow
 def test_two_process_data_parallel(tmp_path):
     port = _free_port()

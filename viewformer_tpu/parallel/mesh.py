@@ -72,7 +72,17 @@ def shard_batch(mesh, batch, batch_dim=0):
 
 
 def replicate(mesh, tree):
-    return jax.device_put(tree, replicated(mesh))
+    """Replicate a host-local pytree over the mesh.
+
+    Multi-process: device_put cannot target non-addressable devices, so the
+    global replicated array is assembled from per-host copies (every process
+    must hold the same values — true for deterministically-initialized train
+    states)."""
+    if jax.process_count() == 1 or mesh.devices.size == len(jax.local_devices()):
+        return jax.device_put(tree, replicated(mesh))
+    sharding = replicated(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)), tree)
 
 
 @contextmanager

@@ -53,7 +53,7 @@ def init_codebook_state(config, rng, optimizer, dtype=jnp.float32, remat=False):
     with jax.default_device(jax.local_devices(backend='cpu')[0]):
         variables = model.init({'params': params_rng, 'quantizer': quantizer_rng},
                                dummy, training=False)
-    variables = jax.device_put(variables, jax.devices()[0])
+    variables = jax.device_put(variables, jax.local_devices()[0])
     params = variables['params']
     quantizer = variables['quantizer']
     opt_state = optimizer.init(params)

@@ -138,7 +138,7 @@ def init_transformer_state(config, rng, optimizer, dtype=jnp.float32,
     # init on CPU (see init_codebook_state note)
     with jax.default_device(jax.local_devices(backend='cpu')[0]):
         variables = model.init(rng, poses, tokens, compute_losses=True)
-    variables = jax.device_put(variables, jax.devices()[0])
+    variables = jax.device_put(variables, jax.local_devices()[0])
     params = variables['params']
     opt_state = optimizer.init(params)
     return model, TransformerTrainState(params, opt_state, jnp.zeros((), jnp.int32))
