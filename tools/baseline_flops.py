@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Compute the exact FLOP cost of the benchmarked inference pipeline.
+
+Backs BASELINE_DERIVATION.md: lowers the same three jitted programs bench.py
+measures (encode 19 context frames -> one MIGT pass -> decode 1 frame) and
+reports XLA's cost analysis, per novel-view frame. From the FLOPs/frame and
+published A100 peak throughput one can bound what the reference stack could
+achieve — the defence of bench.py's ESTIMATED_A100_REFERENCE_FPS constant.
+
+Run on CPU (no TPU needed): `python tools/baseline_flops.py`.
+"""
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def flops_of(fn, *args):
+    lowered = jax.jit(fn).lower(*args)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):  # older jax returns a per-device list
+        cost = cost[0]
+    return float(cost.get('flops', 0.0))
+
+
+def main():
+    jax.config.update('jax_platforms', 'cpu')
+    from viewformer_tpu.config import MIGTConfig, VQGANConfig
+    from viewformer_tpu.models import AutoModel
+
+    S, B = 20, 1  # per-sequence cost; bench batches 32 but FLOPs scale linearly
+    codebook = AutoModel.from_config(VQGANConfig(), dtype=jnp.bfloat16)
+    transformer = AutoModel.from_config(MIGTConfig(), dtype=jnp.bfloat16)
+    cpu = jax.devices('cpu')[0]
+    with jax.default_device(cpu):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        cvars = codebook.init({'params': k1, 'quantizer': k2},
+                              jnp.zeros((1, 128, 128, 3), jnp.float32),
+                              training=False)
+        tvars = transformer.init(k3, jnp.zeros((1, S, 7), jnp.float32),
+                                 jnp.zeros((1, S, 8, 8), jnp.int32),
+                                 compute_losses=False)
+    cvars = {'params': cvars['params'], 'quantizer': cvars['quantizer']}
+    tvars = {'params': tvars['params']}
+
+    def encode_fn(cvars, images):
+        flat = images[:, :-1].reshape((B * (S - 1),) + images.shape[2:])
+        _q, _l, codes = codebook.apply(cvars, flat, training=False,
+                                       method=type(codebook).encode)
+        return codes.reshape(B, S - 1, 8, 8).astype(jnp.int32)
+
+    def generate_fn(tvars, cameras, codes):
+        masked = jnp.concatenate(
+            [codes, jnp.full_like(codes[:, :1], transformer.mask_token)], 1)
+        out = transformer.apply(tvars, cameras, masked, compute_losses=False)
+        return jnp.argmax(out['logits'], -1)[:, -1]
+
+    def decode_fn(cvars, generated_codes):
+        return codebook.apply(cvars, generated_codes,
+                              method=type(codebook).decode_code)
+
+    images = jnp.zeros((B, S, 128, 128, 3), jnp.float32)
+    cameras = jnp.zeros((B, S, 7), jnp.float32)
+    codes = jnp.zeros((B, S - 1, 8, 8), jnp.int32)
+    gen = jnp.zeros((B, 8, 8), jnp.int32)
+
+    enc = flops_of(encode_fn, cvars, images)
+    tr = flops_of(generate_fn, tvars, cameras, codes)
+    dec = flops_of(decode_fn, cvars, gen)
+    total = enc + tr + dec
+
+    report = {
+        'encode_19_frames_gflops': round(enc / 1e9, 2),
+        'transformer_pass_gflops': round(tr / 1e9, 2),
+        'decode_1_frame_gflops': round(dec / 1e9, 2),
+        'total_gflops_per_novel_view': round(total / 1e9, 2),
+        'encode_gflops_per_image': round(enc / (S - 1) / 1e9, 2),
+    }
+    # implied reference throughput on one A100 at a range of realized MFUs
+    # (A100 SXM fp16/bf16 dense peak: 312 TFLOP/s, NVIDIA A100 datasheet)
+    for mfu in (0.2, 0.3, 0.4, 0.5):
+        report[f'implied_a100_fps_at_{int(mfu * 100)}pct_mfu'] = round(
+            312e12 * mfu / total, 1)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == '__main__':
+    main()
