@@ -43,8 +43,8 @@ WPE_STATIC_SIZE = 256
 
 def _maybe_dropout(module, x, rate, deterministic, impl):
     """Dropout with selectable noise implementation: 'rng' (jax.random,
-    default) or 'hash' (ops/dropout.py — RNG-primitive-free, for backends
-    whose compiler rejects RNG in large backward graphs)."""
+    default) or 'hash' (ops/dropout.py — RNG-primitive-free; kept for
+    compiler bisection and to mirror the fused kernels' in-kernel noise)."""
     if rate <= 0 or deterministic:
         return x
     key = module.make_rng('dropout')

@@ -1,13 +1,25 @@
 """RNG-primitive-free dropout via integer hashing.
 
-The axon dev tunnel's TPU compiler crashes on any RNG primitive (threefry or
-rbg) inside large BACKWARD graphs (full-size MIGT grad-with-dropout; the
-deterministic grad and the forward-with-dropout compile fine). This module
-provides an equivalent dropout whose noise comes from a xxhash-style integer
-mix of (key, element index) — plain elementwise integer ops that any
-compiler handles. Marginal distribution is Bernoulli(1-rate) with uniform
-hash quality; select with `dropout_impl='hash'` on MIGT / the trainers.
+Noise comes from a xxhash-style integer mix of (key, element index) — plain
+elementwise integer ops. Two uses:
+  1. IN-KERNEL dropout for the fused Pallas attention backward
+     (ops/attention_pallas.py): the mask regenerates from (seeds, index)
+     inside both the forward and backward kernels, so no dropout residual
+     is stored — this is what keeps default training (dropout 0.1) on the
+     fused path.
+  2. `dropout_impl='hash'` on MIGT / the trainers swaps the residual/MLP
+     dropouts too (useful when bisecting compiler issues involving RNG
+     primitives).
+Marginal distribution is Bernoulli(1-rate) with uniform hash quality;
 jax.random dropout remains the default everywhere else.
+
+History note: this module was first written to dodge a backend compiler
+crash attributed to RNG primitives in large backward graphs. Later bisection
+(tools/repro_rng_backward_crash.py) showed the crash is driven by the
+un-rematerialized backward graph SIZE, not RNG: full-size MIGT grad at
+batch 40 fails with rng, hash, or NO dropout alike, and compiles with remat
+in all three cases. Remat (the trainers' default) is the actual fix; the
+in-kernel use above is why this module stays.
 """
 import math
 
