@@ -12,6 +12,8 @@ MIGT 12L/768d/12H over 20x64 tokens), bf16 compute, fused Pallas attention.
 The pipeline is three jitted programs (encode / generate / decode) chained on
 device — same device work as one giant jit, far faster to compile, and the
 natural serving decomposition (context encoding is reusable across queries).
+The timed loop keeps ONE batch in flight so the host download of finished
+frames overlaps the device rendering the next batch (see inline note).
 
 vs_baseline uses an analytic estimate of the reference stacks on A100 (no
 published numbers exist; BASELINE.json "published" is empty): ~40 novel
@@ -122,11 +124,25 @@ def main(verbose=False):
     # the realistic serving path: generated frames must reach the host).
     np.asarray(full_pipeline(images, cameras))  # warm
 
+    # Steady-state loop with one batch in flight: dispatch batch i+1 before
+    # fetching batch i, so the ~90ms host download of the finished frames
+    # (B*128*128*3 uint8 through the tunnel) overlaps the device rendering
+    # the next batch. This is the realistic serving schedule — the device
+    # never idles waiting for the host to drain — and every produced frame
+    # still reaches host memory inside the timed region. Measured: 1.5x over
+    # the serialized dispatch->fetch->dispatch loop; depth>1 adds nothing
+    # (fetch time < compute time, so depth 1 already hides it).
     iters = 20
+    inflight = None
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = np.asarray(full_pipeline(images, cameras))
+        nxt = full_pipeline(images, cameras)
+        if inflight is not None:
+            out = np.asarray(inflight)
+        inflight = nxt
+    out = np.asarray(inflight)
     elapsed = time.perf_counter() - t0
+    assert out.shape == (B, 128, 128, 3)
 
     frames_per_sec = B * iters / elapsed
     value = frames_per_sec / jax.device_count()
@@ -220,10 +236,17 @@ def serve(verbose=False):
     np.asarray(serve_step(tparams, cvars, cache, poses[:, -1]))  # compile+warm
     log(f'serve_step compiled ({time.time() - t0:.1f}s)')
 
+    # same one-in-flight overlap as main(): next frame renders while the
+    # previous one downloads
     iters = 30
+    inflight = None
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = np.asarray(serve_step(tparams, cvars, cache, poses[:, -1]))
+        nxt = serve_step(tparams, cvars, cache, poses[:, -1])
+        if inflight is not None:
+            out = np.asarray(inflight)
+        inflight = nxt
+    out = np.asarray(inflight)
     elapsed = time.perf_counter() - t0
     assert out.shape == (B, 128, 128, 3)
 
