@@ -95,6 +95,62 @@ def test_scan_cache_build_matches_sequential(setup):
                                np.asarray(seq_cache['v']), atol=1e-5)
 
 
+def test_prefill_matches_sequential(setup):
+    """Batched prefill (one block-causal pass) must equal sequential
+    extend_cache frame appends, and prefill+generate must equal the one-shot
+    forward."""
+    model, params, poses, tokens = setup
+    B = tokens.shape[0]
+
+    seq_cache = inc.init_cache(TINY, B, max_frames=8)
+    for t in range(3):
+        seq_cache = inc.extend_cache(model, params, seq_cache, tokens[:, t], poses[:, t])
+
+    pre_cache = inc.prefill_cache(model, params, tokens[:, :3], poses[:, :3],
+                                  max_frames=8)
+    assert int(pre_cache['n']) == 3
+    assert pre_cache['k'].shape == seq_cache['k'].shape
+    np.testing.assert_allclose(np.asarray(pre_cache['k']),
+                               np.asarray(seq_cache['k']), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pre_cache['v']),
+                               np.asarray(seq_cache['v']), atol=1e-5)
+
+    masked = jnp.concatenate([tokens[:, :3],
+                              jnp.full_like(tokens[:, :1], model.mask_token)], 1)
+    one_shot = model.apply({'params': params}, poses, masked, compute_losses=False)
+    logits = np.asarray(inc.generate_frame(model, params, pre_cache, poses[:, -1]))
+    np.testing.assert_allclose(logits, np.asarray(one_shot['logits'])[:, -1],
+                               atol=2e-4)
+
+
+def test_prefill_trailing_pad_frame_is_inert(setup):
+    """valid_frames semantics: prefilling T+1 frames (trailing dummy) with
+    valid_frames=T produces identical generate_frame output — block-causal
+    attention means trailing frames cannot affect earlier frames' K/V."""
+    model, params, poses, tokens = setup
+    plain = inc.prefill_cache(model, params, tokens[:, :3], poses[:, :3])
+    padded_tokens = jnp.concatenate(
+        [tokens[:, :3], jnp.zeros_like(tokens[:, :1])], 1)
+    padded = inc.prefill_cache(model, params, padded_tokens, poses,
+                               valid_frames=3)
+    assert int(padded['n']) == 3
+    np.testing.assert_allclose(np.asarray(padded['k'][:, :, :, :3]),
+                               np.asarray(plain['k']), atol=1e-6)
+    a = np.asarray(inc.generate_frame(model, params, plain, poses[:, -1]))
+    b = np.asarray(inc.generate_frame(model, params, padded, poses[:, -1]))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_prefill_jits_without_padding(setup):
+    model, params, poses, tokens = setup
+    B = tokens.shape[0]
+    pre = jax.jit(lambda p, t, po: inc.prefill_cache(model, p, t, po))
+    cache = pre(params, tokens[:, :3], poses[:, :3])
+    assert cache['k'].shape[3] == 3
+    logits = inc.generate_frame(model, params, cache, poses[:, -1])
+    assert np.isfinite(np.asarray(logits)).all()
+
+
 def test_incremental_jits(setup):
     model, params, poses, tokens = setup
     B = tokens.shape[0]

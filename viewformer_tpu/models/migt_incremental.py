@@ -86,7 +86,9 @@ def _frame_embeddings(model, params, tokens, pose, is_mask_frame):
         token_embed = wte[model.config.n_embeddings][None, None, :]
     else:
         token_embed = jnp.take(wte, tokens.reshape(tokens.shape[0], L), axis=0)
-    return token_embed + wpe[None] + pose_embed
+    # pose_mlp runs in f32 (pose inputs are f32); keep the residual stream in
+    # the param dtype so bf16 weights give a bf16 tower
+    return (token_embed + wpe[None] + pose_embed).astype(wte.dtype)
 
 
 def _layer_norm(x, scale, bias, eps=1e-5):
@@ -116,6 +118,89 @@ def _block_incremental(model, block_params, H, x, cache_k, cache_v, n_valid):
     h = jax.nn.gelu(h, approximate=False)
     x = x + (h @ mlp['c_proj']['kernel'] + mlp['c_proj']['bias'])
     return x, kh, vh
+
+
+def prefill_cache(model, params, tokens, poses, max_frames=None,
+                  dtype=None, use_fused='auto', valid_frames=None):
+    """Build the K/V cache for ALL context frames in ONE batched pass.
+
+    tokens [B, T, h, w], poses [B, T, 7] -> cache with n = T. Equivalent to
+    scanning `extend_cache` over the frames (tested), but runs the stream-0
+    tower as one block-causal attention over T*L tokens — the MXU-friendly
+    prefill. With `generate_frame` this is the fast exact form of the
+    reference's one-shot inference (ref evaluate_transformer.py:119-129):
+    the one-shot pass computes generation-branch outputs for every frame and
+    discards all but the last; prefill+generate computes only the context
+    tower and the single query branch, same outputs.
+
+    valid_frames: mark only the first `valid_frames` frames as context
+    (cache n). Lets callers pad the input with trailing dummy frames for a
+    kernel-friendlier T — block-causal attention means trailing frames
+    cannot affect earlier frames' K/V (e.g. T=19 only tiles 64-wide in the
+    fused kernel because 19 is prime; padding to 20 restores 320-wide
+    tiles).
+    """
+    from ..ops.branching_attention import multi_end_block_attention
+
+    cfg = model.config
+    B, T = tokens.shape[:2]
+    H, L = cfg.n_head, cfg.token_image_size ** 2
+    dh = cfg.d_model // H
+    max_frames = max_frames if max_frames is not None else T
+    assert max_frames >= T, (max_frames, T)
+    dtype = dtype if dtype is not None else params['wpe'].dtype
+
+    wte = params['wte']['embedding']
+    wpe = params['wpe'][:L]
+
+    def pose_mlp(x):
+        h = x @ params['pose_embedding']['c_fc']['kernel'] + \
+            params['pose_embedding']['c_fc']['bias']
+        h = jax.nn.gelu(h, approximate=False)
+        return h @ params['pose_embedding']['c_proj']['kernel'] + \
+            params['pose_embedding']['c_proj']['bias']
+
+    xyz = poses[..., :3] * cfg.pose_multiplier
+    pose_in = jnp.concatenate([xyz, poses[..., 3:]], -1).astype(jnp.float32)
+    pose_embed = pose_mlp(pose_in)[:, :, None, :]            # [B, T, 1, d]
+    token_embed = jnp.take(wte, tokens.reshape(B, T, L), axis=0)
+    x = (token_embed + wpe[None, None] + pose_embed).reshape(B, T * L, -1)
+    x = x.astype(wte.dtype)  # keep the tower in the param dtype (see above)
+
+    ks, vs = [], []
+    for layer in range(cfg.n_layer):
+        block_params = params[f'h_{layer}']
+        ln1 = block_params['ln_1']
+        normed = _layer_norm(x, ln1['scale'], ln1['bias'])
+        c_attn = block_params['attn']['c_attn']
+        vqk = normed @ c_attn['kernel'] + c_attn['bias']
+        v, q, k = jnp.split(vqk, 3, axis=-1)  # reference chunk order
+        qh = _split_heads(q, H).reshape(B, H, T, L, dh)
+        kh = _split_heads(k, H).reshape(B, H, T, L, dh)
+        vh = _split_heads(v, H).reshape(B, H, T, L, dh)
+        ks.append(kh.astype(dtype))
+        vs.append(vh.astype(dtype))
+        (attended,) = multi_end_block_attention((kh,), (vh,), (qh,),
+                                                use_fused=use_fused)
+        attended = _merge_heads(attended.reshape(B, H, T * L, dh))
+        c_proj = block_params['attn']['c_proj']
+        x = x + (attended @ c_proj['kernel'] + c_proj['bias'])
+        ln2 = block_params['ln_2']
+        normed = _layer_norm(x, ln2['scale'], ln2['bias'])
+        mlp = block_params['mlp']
+        h = normed @ mlp['c_fc']['kernel'] + mlp['c_fc']['bias']
+        h = jax.nn.gelu(h, approximate=False)
+        x = x + (h @ mlp['c_proj']['kernel'] + mlp['c_proj']['bias'])
+
+    k_cache = jnp.stack(ks, 0)                                # [nl,B,H,T,L,dh]
+    v_cache = jnp.stack(vs, 0)
+    if max_frames > T:
+        pad = [(0, 0), (0, 0), (0, 0), (0, max_frames - T), (0, 0), (0, 0)]
+        k_cache = jnp.pad(k_cache, pad)
+        v_cache = jnp.pad(v_cache, pad)
+    n = T if valid_frames is None else valid_frames
+    return {'k': k_cache, 'v': v_cache,
+            'n': jnp.asarray(n, jnp.int32)}
 
 
 def extend_cache(model, params, cache, tokens, pose):
