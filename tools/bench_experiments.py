@@ -21,6 +21,8 @@ def main():
     ap.add_argument('--iters', type=int, default=20)
     ap.add_argument('--depth', type=int, default=2, help='in-flight outputs')
     ap.add_argument('--stages', action='store_true')
+    ap.add_argument('--gen-compare', action='store_true',
+                    help='time prefill+generate vs one-shot generate (bf16)')
     args = ap.parse_args()
 
     import functools
@@ -55,8 +57,24 @@ def main():
                                        method=type(codebook).encode)
         return codes.reshape(B, S - 1, 8, 8).astype(jnp.int32)
 
+    from viewformer_tpu.models.migt_incremental import (generate_frame,
+                                                        prefill_cache)
+
+    to_bf16 = lambda t: jax.tree.map(  # noqa: E731
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, t)
+    tvars = to_bf16(tvars)
+
     @jax.jit
     def generate_fn(tvars, cameras, codes):
+        padded_codes = jnp.concatenate([codes, jnp.zeros_like(codes[:, :1])], 1)
+        cache = prefill_cache(transformer, tvars['params'], padded_codes,
+                              cameras, dtype=jnp.bfloat16, valid_frames=S - 1)
+        logits = generate_frame(transformer, tvars['params'], cache,
+                                cameras[:, -1])
+        return jnp.argmax(logits, -1)
+
+    @jax.jit
+    def oneshot_generate_fn(tvars, cameras, codes):
         masked = jnp.concatenate(
             [codes, jnp.full_like(codes[:, :1], transformer.mask_token)], 1)
         out = transformer.apply(tvars, cameras, masked, compute_losses=False)
@@ -90,20 +108,48 @@ def main():
 
     iters = args.iters
 
+    if args.gen_compare:
+        codes = encode(images)
+        np.asarray(codes)
+        for name, fn in (('prefill+generate',
+                          lambda: generate_fn(tvars, cameras, codes)),
+                         ('one-shot',
+                          lambda: oneshot_generate_fn(tvars, cameras, codes))):
+            np.asarray(fn())
+            inflight = None
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                nxt = fn()
+                if inflight is not None:
+                    np.asarray(inflight)
+                inflight = nxt
+            np.asarray(inflight)
+            dt = (time.perf_counter() - t0) / iters
+            print(f'generate[{name}]: {dt * 1000:.1f} ms/call '
+                  f'({B / dt:.1f} seq/s)', flush=True)
+        return
+
     if args.stages:
         codes = encode(images)
         np.asarray(codes)
         gen = generate(cameras, codes)
         np.asarray(gen)
-        for name, fn in (('encode', lambda: np.asarray(encode(images))),
-                         ('generate', lambda: np.asarray(generate(cameras, codes))),
-                         ('decode', lambda: np.asarray(decode(gen)))):
-            fn()
+        for name, fn in (('encode', lambda: encode(images)),
+                         ('generate', lambda: generate(cameras, codes)),
+                         ('decode', lambda: decode(gen))):
+            # pipelined per-stage loop: measures device time of the stage
+            # alone (fetch of the previous call overlaps the next dispatch)
+            np.asarray(fn())
+            inflight = None
             t0 = time.perf_counter()
             for _ in range(iters):
-                fn()
+                nxt = fn()
+                if inflight is not None:
+                    np.asarray(inflight)
+                inflight = nxt
+            np.asarray(inflight)
             dt = (time.perf_counter() - t0) / iters
-            print(f'{name}: {dt * 1000:.1f} ms/call '
+            print(f'{name}: {dt * 1000:.1f} ms/call pipelined '
                   f'({B / dt:.1f} seq/s)', flush=True)
 
     # serialized loop (current bench.py)
