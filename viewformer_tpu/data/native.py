@@ -91,6 +91,65 @@ def index_records(buffer):
     return list(zip(offsets[:count].tolist(), lengths[:count].tolist()))
 
 
+_IMAGE_SOURCE = os.path.join(os.path.dirname(_SOURCE), 'vfimage.cc')
+_IMAGE_LIB = os.path.join(os.path.dirname(_LIB), 'libvfimage.so')
+
+
+def _build_image():
+    os.makedirs(os.path.dirname(_IMAGE_LIB), exist_ok=True)
+    cmd = ['g++', '-O3', '-shared', '-fPIC', '-o', _IMAGE_LIB, _IMAGE_SOURCE,
+           '-ljpeg']
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _IMAGE_LIB
+
+
+@functools.lru_cache(maxsize=1)
+def get_image_lib():
+    """Load (building if needed) the JPEG decode library, or None (no
+    compiler / no libjpeg)."""
+    try:
+        if (not os.path.exists(_IMAGE_LIB)
+                or os.path.getmtime(_IMAGE_LIB) < os.path.getmtime(_IMAGE_SOURCE)):
+            _build_image()
+        lib = ctypes.CDLL(_IMAGE_LIB)
+    except Exception as e:
+        print(f'viewformer_tpu: native JPEG decode unavailable ({e}); '
+              'using PIL', file=sys.stderr)
+        return None
+    lib.vf_jpeg_info.restype = ctypes.c_int64
+    lib.vf_jpeg_info.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.vf_jpeg_decode.restype = ctypes.c_int64
+    lib.vf_jpeg_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_size_t]
+    return lib
+
+
+def decode_jpeg(data):
+    """JPEG bytes -> uint8 [H, W, 3] via libjpeg (the ctypes call releases
+    the GIL, so thread pools scale across cores), or None when the native
+    library is unavailable or the stream is unsupported (e.g. CMYK) — the
+    caller falls back to PIL."""
+    lib = get_image_lib()
+    if lib is None:
+        return None
+    data = bytes(data)
+    w = ctypes.c_int64()
+    h = ctypes.c_int64()
+    c = ctypes.c_int64()
+    if lib.vf_jpeg_info(data, len(data), ctypes.byref(w), ctypes.byref(h),
+                        ctypes.byref(c)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    if lib.vf_jpeg_decode(data, len(data),
+                          out.ctypes.data_as(ctypes.c_void_p), out.nbytes) != 0:
+        return None
+    return out
+
+
 def decode_varints(buffer):
     """Packed int64 varint list -> np.int64 array, or None when unavailable."""
     lib = get_lib()

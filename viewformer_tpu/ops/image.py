@@ -9,6 +9,7 @@ numpy (host path) and jax (device path) without a torch dependency;
 tests/test_image_ops.py checks bit-exactness against torch.
 """
 import io
+import os
 
 import numpy as np
 
@@ -160,7 +161,20 @@ def encode_image(image):
 
 
 def decode_image(data):
-    """JPEG/PNG bytes -> uint8 [H, W, C]."""
+    """JPEG/PNG bytes -> uint8 [H, W, C].
+
+    JPEG takes the native libjpeg path (native/vfimage.cc) when available —
+    the ctypes call releases the GIL so the pipeline's thread pool scales
+    across cores; PIL remains the fallback and the PNG path. Disable with
+    VIEWFORMER_NATIVE_JPEG=0 (decoded pixels are verified identical to PIL
+    on this image corpus by tests/test_image_ops.py, but the escape hatch
+    stays)."""
+    if (len(data) >= 2 and data[:2] == b'\xff\xd8'
+            and os.environ.get('VIEWFORMER_NATIVE_JPEG', '1') != '0'):
+        from ..data.native import decode_jpeg
+        decoded = decode_jpeg(data)
+        if decoded is not None:
+            return decoded
     from PIL import Image
 
     with Image.open(io.BytesIO(data)) as pil:
