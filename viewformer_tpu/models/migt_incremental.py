@@ -180,6 +180,8 @@ def prefill_cache(model, params, tokens, poses, max_frames=None,
         vh = _split_heads(v, H).reshape(B, H, T, L, dh)
         ks.append(kh.astype(dtype))
         vs.append(vh.astype(dtype))
+        if layer == cfg.n_layer - 1:
+            break  # last layer: only its K/V are live; x is never read again
         (attended,) = multi_end_block_attention((kh,), (vh,), (qh,),
                                                 use_fused=use_fused)
         attended = _merge_heads(attended.reshape(B, H, T * L, dh))
