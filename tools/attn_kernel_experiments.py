@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Micro-bench the fused block-causal attention kernel variants on TPU.
+
+Times each variant by scanning N calls inside one jit (amortizes the tunnel
+dispatch). Variants:
+  current    - iota mask computed inside the kernel per program
+  bias-input - additive bias precomputed per q-tile, passed as an input
+  xla-dense  - plain dense block-causal attention (XLA, no pallas)
+
+CONCLUSION (idle v5e host, 2026-08-16, B=32 H=12 T=20 L=64 dh=64, N=24
+chained calls; timings include the output fetch so they are comparative,
+not absolute): current 102.4 ms [unrolled] / 116.7 [scan]; bias-input 105.8
+/ 132.7; xla-dense 153.2 / 102.5. The in-kernel iota mask is already the
+fastest form — precomputing the additive bias only adds HBM traffic for the
+[nq, qb, TL] bias tensor, and unrolled layer chains beat lax.scan for the
+pallas kernels. No kernel change warranted.
+"""
+import functools
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    import sys
+    sys.path.insert(0, __file__.rsplit('/', 2)[0])
+    from viewformer_tpu.ops import attention_pallas as ap
+    from viewformer_tpu.ops.branching_attention import block_causal_bias
+
+    B, H, T, L, dh = 32, 12, 20, 64, 64
+    TL = T * L
+    BH = B * H
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.randn(BH, TL, dh), jnp.bfloat16)
+    k = jnp.asarray(rs.randn(BH, TL, dh), jnp.bfloat16)
+    v = jnp.asarray(rs.randn(BH, TL, dh), jnp.bfloat16)
+
+    qb = ap._pick_q_block(TL, L)
+    nq = TL // qb
+
+    # precomputed additive bias per q tile: [nq, qb, TL]
+    full_bias = np.asarray(block_causal_bias(T, L))  # [TL, TL]
+    bias = jnp.asarray(full_bias.reshape(nq, qb, TL), jnp.float32)
+
+    def bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref):
+        scores = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        weights = jax.nn.softmax(scores + b_ref[0], axis=-1)
+        o_ref[0] = jax.lax.dot_general(
+            weights.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+    def run_bias(q, k, v):
+        return pl.pallas_call(
+            bias_kernel,
+            grid=(BH, nq),
+            in_specs=[
+                pl.BlockSpec((1, qb, dh), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((1, TL, dh), lambda b, i: (b, 0, 0)),
+                pl.BlockSpec((1, TL, dh), lambda b, i: (b, 0, 0)),
+                pl.BlockSpec((1, qb, TL), lambda b, i: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, qb, dh), lambda b, i: (b, i, 0)),
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        )(q, k, v, bias)
+
+    def run_current(q, k, v):
+        return ap._run_block_causal(q, k, v, L)
+
+    xla_bias = jnp.asarray(full_bias, jnp.float32)
+
+    def run_xla(q, k, v):
+        scores = jnp.einsum('bqd,bkd->bqk', q, k,
+                            preferred_element_type=jnp.float32) + xla_bias
+        w = jax.nn.softmax(scores, -1)
+        return jnp.einsum('bqk,bkd->bqd', w.astype(v.dtype), v)
+
+    N = 24
+    for name, fn in (('current', run_current), ('bias-input', run_bias),
+                     ('xla-dense', run_xla)):
+        @jax.jit
+        def loop(q, k, v, fn=fn):
+            x = q
+            for _ in range(N):  # unrolled chain, like the prefill layers
+                x = fn(x, k, v)
+            return x
+
+        @jax.jit
+        def loop_scan(q, k, v, fn=fn):
+            def step(x, _):
+                return fn(x, k, v), ()
+            out, _ = jax.lax.scan(step, q, None, length=N)
+            return out
+
+        for variant, lfn in (('unrolled', loop), ('scan', loop_scan)):
+            t0 = time.time()
+            np.asarray(lfn(q, k, v))
+            compile_s = time.time() - t0
+            t0 = time.perf_counter()
+            np.asarray(lfn(q, k, v))
+            dt = (time.perf_counter() - t0) / N * 1000
+            print(f'{name} [{variant}]: {dt:.2f} ms/call '
+                  f'(compile {compile_s:.0f}s)', flush=True)
+
+    # correctness: bias variant == current
+    a = np.asarray(run_current(q, k, v), np.float32)
+    b = np.asarray(jax.jit(run_bias)(q, k, v), np.float32)
+    print('max diff bias vs current:', float(np.abs(a - b).max()))
+
+
+if __name__ == '__main__':
+    main()
