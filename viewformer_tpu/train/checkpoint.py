@@ -9,6 +9,7 @@ exactly (ref finetune_transformer.py:78-87 semantics)."""
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -37,7 +38,15 @@ class CheckpointManager:
     def save(self, step, state, val_loss=None):
         if hasattr(state, '_asdict'):  # NamedTuple train states stored as dicts
             state = state._asdict()
-        state = jax.tree.map(np.asarray, jax.device_get(state))
+        # Donation-safe async save: snapshot on DEVICE (cheap copy dispatch),
+        # then orbax streams device->host in its background thread while the
+        # train loop keeps stepping (the trainers donate state buffers into
+        # the next step, so handing orbax the live arrays would read
+        # invalidated memory; an eager device_get here would instead block
+        # training on the full D2H transfer).
+        state = jax.tree.map(
+            lambda a: jnp.copy(a) if isinstance(a, jax.Array) else np.asarray(a),
+            state)
         self._last.save(step, args=ocp.args.StandardSave(state))
         if val_loss is not None:
             self._best.save(step, args=ocp.args.StandardSave(state),
@@ -58,19 +67,32 @@ class CheckpointManager:
             abstract_state = abstract_state._asdict()
         return ocp.args.StandardRestore(abstract_state)
 
+    @staticmethod
+    def _neutralize(state, abstract_state):
+        """Without a target tree orbax resurrects arrays pinned to the mesh
+        they were SAVED on (saves snapshot live device arrays for the async
+        path) — convert to host numpy so callers can place them on any
+        topology, matching the shardings-free behavior of numpy saves."""
+        if abstract_state is not None or state is None:
+            return state
+        return jax.tree.map(
+            lambda a: np.asarray(a) if isinstance(a, jax.Array) else a, state)
+
     def restore_last(self, abstract_state=None):
         """Returns (state_dict, step); state_dict keys match the NamedTuple
         fields passed to save."""
         step = self._last.latest_step()
         if step is None:
             return None, None
-        return self._last.restore(step, args=self._restore_args(abstract_state)), step
+        state = self._last.restore(step, args=self._restore_args(abstract_state))
+        return self._neutralize(state, abstract_state), step
 
     def restore_best(self, abstract_state=None):
         step = self._best.best_step()
         if step is None:
             return None, None
-        return self._best.restore(step, args=self._restore_args(abstract_state)), step
+        state = self._best.restore(step, args=self._restore_args(abstract_state))
+        return self._neutralize(state, abstract_state), step
 
     def close(self):
         self.wait()
