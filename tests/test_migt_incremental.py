@@ -123,6 +123,29 @@ def test_prefill_matches_sequential(setup):
                                atol=2e-4)
 
 
+def test_localize_matches_one_shot_eval():
+    """localize_frame == the one-shot eval localization path (query frame in
+    stream 0 with the loc-token embedding as its pose; ref migt.py:387-390)."""
+    config = dataclasses.replace(TINY, localization_weight=Schedule.from_str('1'))
+    model = MIGT(config)
+    rng = np.random.RandomState(1)
+    poses = rng.randn(2, 4, 7).astype(np.float32)
+    poses[..., 3:] /= np.linalg.norm(poses[..., 3:], axis=-1, keepdims=True)
+    tokens = jnp.asarray(rng.randint(0, 16, (2, 4, 2, 2)))
+    poses = jnp.asarray(poses)
+    variables = model.init(jax.random.PRNGKey(2), poses, tokens,
+                           compute_losses=True)
+    params = variables['params']
+
+    one_shot = model.apply({'params': params}, poses[:, :3], tokens,
+                           compute_losses=False)
+    expected = np.asarray(one_shot['pose_prediction'])[:, -1]  # [B, L, 7]
+
+    cache = inc.prefill_cache(model, params, tokens[:, :3], poses[:, :3])
+    pred = np.asarray(inc.localize_frame(model, params, cache, tokens[:, 3]))
+    np.testing.assert_allclose(pred, expected, atol=2e-4)
+
+
 def test_prefill_trailing_pad_frame_is_inert(setup):
     """valid_frames semantics: prefilling T+1 frames (trailing dummy) with
     valid_frames=T produces identical generate_frame output — block-causal

@@ -576,6 +576,25 @@ def visualize_codebook_cmd(loader_name, codebook_model, output, num_images,
     visualize_codebook(loader, codebook_model, output=output, num_images=num_images)
 
 
+@main.command('serve')
+@click.option('--transformer-model', required=True)
+@click.option('--codebook-model', required=True)
+@click.option('--max-frames', type=int, default=None,
+              help='context capacity (default: model sequence_size - 1)')
+@click.option('--pose-multiplier', type=float, default=None)
+@click.option('--fp32', is_flag=True, help='disable bf16 serving weights')
+def serve_cmd(transformer_model, codebook_model, max_frames, pose_multiplier, fp32):
+    """KV-cache serving session: JSON requests on stdin, responses on stdout.
+
+    Prefill a context once ({"op": "start", ...}), then render novel views on
+    demand ({"op": "render", ...}) at O(1 frame) cost per view — see
+    viewformer_tpu/commands/serve.py for the protocol.
+    """
+    from .commands.serve import serve_loop
+    serve_loop(transformer_model, codebook_model, max_frames=max_frames,
+               use_bfloat16=not fp32, pose_multiplier=pose_multiplier)
+
+
 @main.command('download-model')
 @click.argument('checkpoint')
 def download_model_cmd(checkpoint):

@@ -223,6 +223,43 @@ def extend_cache(model, params, cache, tokens, pose):
     return {'k': new_k, 'v': new_v, 'n': n + 1}
 
 
+def localize_frame(model, params, cache, tokens):
+    """Localize a query frame against the cached context: tokens [B, h, w]
+    (the frame's codebook codes) -> per-token pose predictions [B, L, 7].
+
+    Matches the one-shot eval localization exactly (tested): there the query
+    frame rides STREAM 0 with the localization-token embedding substituted
+    for its pose embedding (migt.py eval-only branch; ref migt.py:387-390),
+    so it attends cached frames plus its own block — the same pattern as
+    `extend_cache` but with loc embeddings, no cache write, and the pose
+    head (f32 island) on top. Callers reduce the L per-token predictions
+    with `MIGT.reduce_cameras` (quaternion normalize-mean)."""
+    cfg = model.config
+    H = cfg.n_head
+    L = cfg.token_image_size ** 2
+    B = tokens.shape[0]
+    wte = params['wte']['embedding']
+    loc_embed = wte[cfg.n_embeddings + 1][None, None, :]
+    x = (jnp.take(wte, tokens.reshape(B, L), axis=0)
+         + params['wpe'][:L][None] + loc_embed).astype(wte.dtype)
+    n = cache['n']
+    for layer in range(cfg.n_layer):
+        block_params = params[f'h_{layer}']
+        x, _, _ = _block_incremental(model, block_params, H, x,
+                                     cache['k'][layer], cache['v'][layer], n)
+    ln_f = params['ln_f']
+    x = _layer_norm(x, ln_f['scale'], ln_f['bias'])
+    head = params['pose_criterion']['pose_classifier']
+    h = x.astype(jnp.float32) @ head['c_fc']['kernel'] + head['c_fc']['bias']
+    h = jax.nn.gelu(h, approximate=False)
+    raw = h @ head['c_proj']['kernel'] + head['c_proj']['bias']
+    from ..utils import geometry_jax as geometry
+    xyz = raw[..., :3] / cfg.pose_multiplier
+    quaternion = geometry.quaternion_remove_sign(
+        geometry.quaternion_normalize(raw[..., 3:]))
+    return jnp.concatenate([xyz, quaternion], -1)
+
+
 def generate_frame(model, params, cache, query_pose):
     """Generate the query frame against the cached context: query_pose [B, 7]
     -> logits [B, h, w, n_embeddings]. The cache is unchanged (generated
