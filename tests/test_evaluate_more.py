@@ -130,3 +130,65 @@ def test_generate_gqn_images(setup, tmp_path):
     assert os.path.exists(os.path.join(job, 'gen0.png'))
     assert os.path.exists(os.path.join(job, 'gt1.png'))
     assert os.path.exists(os.path.join(job, 'c0_2.png'))
+
+
+def test_fused_predict_matches_one_shot_reference():
+    """The evaluator's incremental prefill+branch predict must equal the
+    reference one-shot form (two full transformer passes) end to end:
+    generated codes/images AND localized cameras."""
+    import jax.numpy as jnp
+
+    from viewformer_tpu.evaluate.transformer import (
+        from_relative_cameras, make_generate_batch_predictions,
+        normalize_cameras, to_relative_cameras)
+    from viewformer_tpu.models.migt import MIGT
+    from viewformer_tpu.models.vqgan import VQGAN
+
+    cconfig = VQGANConfig(ch=32, ch_mult=[1, 2], num_res_blocks=1,
+                          attn_resolutions=[], z_channels=32, embed_dim=8,
+                          n_embed=16, image_size=32, perceptual_weight=0.0)
+    tconfig = MIGTConfig(n_embeddings=16, n_head=2, d_model=32, n_layer=2,
+                         dropout=0.0, sequence_size=4, token_image_size=16,
+                         total_steps=10, n_loss_skip=1,
+                         localization_weight=Schedule.from_str('1'))
+    cmodel, tmodel = VQGAN(cconfig), MIGT(tconfig)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    cvars = cmodel.init({'params': k1, 'quantizer': k2},
+                        jnp.zeros((1, 32, 32, 3), jnp.float32), training=False)
+    tvars = tmodel.init(k3, jnp.zeros((1, 4, 7), jnp.float32),
+                        jnp.zeros((1, 4, 16, 16), jnp.int32), compute_losses=True)
+
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.rand(2, 4, 32, 32, 3).astype(np.float32) * 2 - 1)
+    cameras = rng.randn(2, 4, 7).astype(np.float32)
+    cameras[..., 3:] /= np.linalg.norm(cameras[..., 3:], axis=-1, keepdims=True)
+    cameras = jnp.asarray(cameras)
+
+    predict = make_generate_batch_predictions(tmodel, tvars, cmodel, cvars)
+    out = jax.device_get(predict(images, cameras))
+
+    # reference one-shot form (the pre-incremental evaluator implementation)
+    cv = {'params': cvars['params'], 'quantizer': cvars['quantizer']}
+    rel, transform = to_relative_cameras(cameras)
+    rel = normalize_cameras(rel)
+    _q, _l, codes = cmodel.apply(cv, images.reshape((8, 32, 32, 3)),
+                                 training=False, method=VQGAN.encode)
+    codes = codes.reshape(2, 4, 16, 16).astype(jnp.int32)
+    masked = jnp.concatenate(
+        [codes[:, :-1], jnp.full_like(codes[:, :1], tmodel.mask_token)], 1)
+    ref = tmodel.apply({'params': tvars['params']}, rel, masked,
+                       compute_losses=False)
+    ref_codes = np.asarray(jnp.argmax(ref['logits'], -1))[:, -1]
+    dec = cmodel.apply(cv, jnp.asarray(ref_codes), method=VQGAN.decode_code)
+    ref_images = np.asarray(
+        ((jnp.clip(dec, -1, 1) / 2 + 0.5) * 255.0 + 0.5).astype(jnp.uint8))
+    loc = tmodel.apply({'params': tvars['params']}, rel[:, :-1], codes,
+                       compute_losses=False)
+    ref_cams = tmodel.apply({'params': tvars['params']},
+                            loc['pose_prediction'][:, -1:],
+                            method=MIGT.reduce_cameras)
+    ref_cams = np.asarray(
+        from_relative_cameras(ref_cams, transform))[:, -1]
+
+    np.testing.assert_array_equal(out['generated_images'], ref_images)
+    np.testing.assert_allclose(out['generated_cameras'], ref_cams, atol=2e-4)

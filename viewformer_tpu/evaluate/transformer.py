@@ -1,10 +1,15 @@
 """evaluate transformer: single-context novel-view synthesis + localization.
 
 Parity target: /root/reference/viewformer/evaluate/evaluate_transformer.py.
-The whole encode -> one-shot generate -> decode -> localize path is ONE
-jitted function per batch shape (the reference ran four separate tf calls) —
-on TPU this fuses the codebook towers and the transformer into a single
-launched program with no host round-trips.
+The whole encode -> generate -> decode -> localize path is ONE jitted
+function per batch shape (the reference ran four separate tf calls) — on TPU
+this fuses the codebook towers and the transformer into a single launched
+program with no host round-trips. The transformer stages run in the
+incremental prefill + branch-pass form (models/migt_incremental.py): one
+block-causal pass over the context builds a K/V cache that serves both the
+generation and the localization query — exact one-shot semantics (module
+equivalence tests) at ~2.5x less transformer work than the reference's two
+full passes.
 """
 import json
 import os
@@ -67,6 +72,8 @@ def make_generate_batch_predictions(transformer_model, transformer_vars,
     # time explode at full model size.
     @jax.jit
     def predict(transformer_variables, codebook_variables, images, cameras):
+        from ..models import migt_incremental as inc
+
         B, S = images.shape[:2]
         ground_truth_cameras = cameras[:, -1]
         transform = None
@@ -81,12 +88,22 @@ def make_generate_batch_predictions(transformer_model, transformer_vars,
         grid = codes.shape[-2:]
         codes = codes.reshape(B, S, *grid).astype(jnp.int32)
 
-        # GENERATE: one transformer pass over [ctx codes, mask frame]
-        masked = jnp.concatenate(
-            [codes[:, :-1], jnp.full_like(codes[:, :1], transformer_model.mask_token)], 1)
-        out = transformer_model.apply(transformer_variables, cameras, masked,
-                                      compute_losses=False)
-        generated_codes = jnp.argmax(out['logits'], -1)[:, -1]
+        # PREFILL: one block-causal pass over the S-1 context frames builds
+        # the K/V cache that serves BOTH the generation and the localization
+        # query below — the exact incremental form of the reference's two
+        # full one-shot passes (ref evaluate_transformer.py:119-136;
+        # equivalence pinned in tests/test_migt_incremental.py). The query
+        # slot rides along as an inert pad frame (valid_frames masks it) so
+        # the fused attention kernel keeps frame-aligned tiles.
+        params = transformer_variables['params']
+        padded = jnp.concatenate([codes[:, :-1], jnp.zeros_like(codes[:, :1])], 1)
+        cache = inc.prefill_cache(transformer_model, params, padded, cameras,
+                                  valid_frames=S - 1)
+
+        # GENERATE: one 64-token mask-frame branch pass over the cache
+        logits = inc.generate_frame(transformer_model, params, cache,
+                                    cameras[:, -1])
+        generated_codes = jnp.argmax(logits, -1)
 
         # DECODE
         generated_images = codebook_model.apply(
@@ -94,12 +111,12 @@ def make_generate_batch_predictions(transformer_model, transformer_vars,
         generated_images = jnp.clip(generated_images, -1, 1)
         generated_images = ((generated_images / 2 + 0.5) * 255.0 + 0.5).astype(jnp.uint8)
 
-        # LOCALIZE: full codes + context poses
+        # LOCALIZE: one 64-token loc-branch pass (query frame's real codes)
         if use_localization:
-            loc_out = transformer_model.apply(transformer_variables, cameras[:, :-1],
-                                              codes, compute_losses=False)
+            pred = inc.localize_frame(transformer_model, params, cache,
+                                      codes[:, -1])          # [B, L, 7]
             generated_cameras = transformer_model.apply(
-                transformer_variables, loc_out['pose_prediction'][:, -1:],
+                transformer_variables, pred[:, None],
                 method=type(transformer_model).reduce_cameras)
             if relative:
                 generated_cameras = from_relative_cameras(generated_cameras, transform)

@@ -64,11 +64,19 @@ def _attend_cache(q, cache_k, cache_v, own_k, own_v, n_valid, include_own_frame_
     return out
 
 
-def _frame_embeddings(model, params, tokens, pose, is_mask_frame):
+def _frame_embeddings(model, params, tokens, pose, is_mask_frame, length=None):
     """Assemble one frame's input embeddings [B, L, d] (matching MIGT stream
-    assembly; ref migt.py:371-401)."""
+    assembly; ref migt.py:371-401). L derives from the actual token grid
+    (like the one-shot model, ref migt.py:338-346 — configs whose
+    token_image_size disagrees with the codebook's real grid still work);
+    mask frames take it from `length`."""
     cfg = model.config
-    L = cfg.token_image_size ** 2
+    if tokens is not None:
+        L = 1
+        for d in tokens.shape[1:]:
+            L *= d
+    else:
+        L = length if length is not None else cfg.token_image_size ** 2
     wte = params['wte']['embedding']
     wpe = params['wpe'][:L]
 
@@ -144,7 +152,10 @@ def prefill_cache(model, params, tokens, poses, max_frames=None,
 
     cfg = model.config
     B, T = tokens.shape[:2]
-    H, L = cfg.n_head, cfg.token_image_size ** 2
+    H = cfg.n_head
+    L = 1
+    for d in tokens.shape[2:]:  # derive from the real grid (ref migt.py:338-346)
+        L *= d
     dh = cfg.d_model // H
     max_frames = max_frames if max_frames is not None else T
     assert max_frames >= T, (max_frames, T)
@@ -236,8 +247,10 @@ def localize_frame(model, params, cache, tokens):
     with `MIGT.reduce_cameras` (quaternion normalize-mean)."""
     cfg = model.config
     H = cfg.n_head
-    L = cfg.token_image_size ** 2
     B = tokens.shape[0]
+    L = 1
+    for d in tokens.shape[1:]:  # derive from the real grid (ref migt.py:338-346)
+        L *= d
     wte = params['wte']['embedding']
     loc_embed = wte[cfg.n_embeddings + 1][None, None, :]
     x = (jnp.take(wte, tokens.reshape(B, L), axis=0)
@@ -264,10 +277,13 @@ def generate_frame(model, params, cache, query_pose):
     """Generate the query frame against the cached context: query_pose [B, 7]
     -> logits [B, h, w, n_embeddings]. The cache is unchanged (generated
     frames are not context unless explicitly appended after decoding)."""
+    import math
+
     cfg = model.config
     H = cfg.n_head
-    L = cfg.token_image_size ** 2
-    x = _frame_embeddings(model, params, None, query_pose, is_mask_frame=True)
+    L = cache['k'].shape[4]  # frame length from the cache's real grid
+    x = _frame_embeddings(model, params, None, query_pose, is_mask_frame=True,
+                          length=L)
     x = jnp.broadcast_to(x, (query_pose.shape[0], L, cfg.d_model))
     n = cache['n']
     for layer in range(cfg.n_layer):
@@ -278,5 +294,6 @@ def generate_frame(model, params, cache, query_pose):
     x = _layer_norm(x, ln_f['scale'], ln_f['bias'])
     logits = jnp.einsum('bld,vd->blv', x.astype(jnp.float32),
                         params['wte']['embedding'][:cfg.n_embeddings].astype(jnp.float32))
-    grid = (cfg.token_image_size, cfg.token_image_size)
+    side = math.isqrt(L)  # token grids are square (token_image_size is one int)
+    grid = (side, L // side)
     return logits.reshape((x.shape[0],) + grid + (cfg.n_embeddings,))
