@@ -47,3 +47,16 @@ def test_restore_without_target_is_topology_neutral(tmp_path):
     w = mesh_lib.replicate(other, jax.tree.map(jnp.asarray, restored))['w']
     out = jax.jit(lambda a: a * 2)(w)
     np.testing.assert_array_equal(np.asarray(out), np.full((4, 2), 2.0))
+
+
+def test_aux_state_roundtrip(tmp_path):
+    """The data-iterator cursor rides next to the rolling last checkpoint."""
+    mgr = CheckpointManager(str(tmp_path / 'job'))
+    assert mgr.load_aux() is None
+    state = {'w': jnp.zeros(2)}
+    mgr.save(0, state)                                # no aux: nothing written
+    assert mgr.load_aux() is None
+    mgr.save(5, state, aux={'data_iterator': {'epoch': 1, 'batch': 7}})
+    mgr.close()
+    aux = CheckpointManager(str(tmp_path / 'job')).load_aux()
+    assert aux == {'step': 5, 'data_iterator': {'epoch': 1, 'batch': 7}}

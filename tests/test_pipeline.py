@@ -133,3 +133,67 @@ def test_token_pipeline_interleaves_shards(datasets):
         np.testing.assert_allclose(
             got_poses, np.asarray(envs[env_idx]['cameras'], np.float32).reshape(6, 7),
             rtol=1e-6)
+
+
+def test_image_pipeline_mid_epoch_resume(datasets):
+    """Resuming from Prefetcher.state must continue the EXACT uninterrupted
+    batch order, including across the epoch boundary."""
+    image_path, _ = datasets
+    kwargs = dict(batch_size=8, image_size=32, split='train', repeat=2, seed=3)
+    full = list(load_image_dataset(image_path, **kwargs))  # 2 epochs x 4
+
+    data = load_image_dataset(image_path, **kwargs)
+    it = iter(data)
+    for _ in range(3):
+        next(it)
+    state = dict(data.state)
+    data.close()
+    assert state == {'epoch': 0, 'batch': 3}
+
+    resumed = list(load_image_dataset(image_path, start_state=state, **kwargs))
+    assert len(resumed) == len(full) - 3
+    for a, b in zip(resumed, full[3:]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_token_pipeline_mid_epoch_resume(datasets):
+    _, codes_path = datasets
+    kwargs = dict(batch_size=4, sequence_size=3, token_image_size=2,
+                  split='train', repeat=2, seed=7)
+    full = list(load_token_dataset(codes_path, **kwargs))
+    assert len(full) >= 4
+
+    data = load_token_dataset(codes_path, **kwargs)
+    it = iter(data)
+    for _ in range(2):
+        next(it)
+    state = dict(data.state)
+    data.close()
+
+    resumed = list(load_token_dataset(codes_path, start_state=state, **kwargs))
+    assert len(resumed) == len(full) - 2
+    for (pa, ta), (pb, tb) in zip(resumed, full[2:]):
+        np.testing.assert_array_equal(pa, pb)
+        np.testing.assert_array_equal(ta, tb)
+
+
+def test_token_pipeline_seeded_transform_rng(datasets):
+    """Transforms that accept an `rng` kwarg get the pipeline's seeded rng —
+    random pose augments reproduce exactly on resume (process_batch
+    'simple'/'advanced' otherwise draw from global np.random)."""
+    _, codes_path = datasets
+    draws = []
+
+    def transform(poses, tokens, split, rng=None):
+        assert rng is not None
+        draws.append(rng.uniform())
+        return poses, tokens
+
+    kwargs = dict(batch_size=4, sequence_size=3, token_image_size=2,
+                  split='train', repeat=1, seed=11, transform=transform)
+    full = list(load_token_dataset(codes_path, **kwargs))
+    first_draws = list(draws)
+    draws.clear()
+    again = list(load_token_dataset(codes_path, **kwargs))
+    assert draws == first_draws
+    assert len(full) == len(again)

@@ -111,15 +111,23 @@ def _local_shuffle(iterator, buffer_size, rng):
 
 class Prefetcher:
     """Background-thread prefetch with a bounded queue (double buffering of
-    host batches while the device step runs)."""
+    host batches while the device step runs).
+
+    With track_state=True the wrapped iterator yields (state, batch) pairs;
+    `.state` then holds the resume cursor of the batch most recently handed
+    to the CONSUMER (not merely produced into the prefetch buffer — batches
+    sitting undelivered in the queue are regenerated on resume), suitable to
+    pass back as the loader's `start_state`."""
 
     _DONE = object()
 
-    def __init__(self, iterator_factory, buffer_size=2):
+    def __init__(self, iterator_factory, buffer_size=2, track_state=False):
         self._factory = iterator_factory
         self._queue = queue.Queue(maxsize=buffer_size)
         self._thread = None
         self._stop = threading.Event()
+        self._track_state = track_state
+        self.state = None
 
     def _run(self):
         try:
@@ -138,15 +146,43 @@ class Prefetcher:
             item = self._queue.get()
             if item is self._DONE:
                 return
+            if self._track_state:
+                self.state, item = item
             yield item
 
     def close(self):
         self._stop.set()
 
 
+def _resumable_epochs(epoch_iterator, repeat, start_state):
+    """Wrap per-epoch iterators into an (state, batch) stream with a
+    deterministic (epoch, batch) resume cursor. Resuming replays the current
+    epoch's seeded stream and drops the first `batch` batches — exact
+    continuation of the uninterrupted order (the per-epoch rngs derive from
+    (seed, epoch) only), at a fast-forward cost of at most one epoch of
+    input processing."""
+    start_epoch = int(start_state['epoch']) if start_state else 0
+    start_batch = int(start_state['batch']) if start_state else 0
+
+    def iterator():
+        epoch, skip = start_epoch, start_batch
+        while True:
+            for i, batch in enumerate(epoch_iterator(epoch)):
+                if i < skip:
+                    continue
+                yield {'epoch': epoch, 'batch': i + 1}, batch
+            skip = 0
+            epoch += 1
+            if repeat is None or (repeat > 0 and epoch >= repeat):
+                return
+
+    return iterator
+
+
 def load_image_dataset(path, batch_size, image_size, split='train', repeat=None,
                        shuffle=True, seed=0, num_decode_threads=8,
-                       num_decode_processes=0, num_channels=None):
+                       num_decode_processes=0, num_channels=None,
+                       start_state=None):
     """Flat per-frame image batches for codebook training.
 
     Yields float32 [batch, H, W, C] in [-1, 1]. `repeat=None` -> one epoch;
@@ -154,7 +190,14 @@ def load_image_dataset(path, batch_size, image_size, split='train', repeat=None,
 
     num_decode_processes > 0 decodes JPEGs in a fork-based process pool
     (bypasses the GIL entirely — for feeding multi-chip meshes); otherwise a
-    thread pool is used (PIL releases the GIL for most of the decode)."""
+    thread pool is used (PIL releases the GIL for most of the decode).
+
+    start_state: {'epoch', 'batch'} cursor from a previous run's
+    `Prefetcher.state` — resumes the EXACT deterministic data order
+    mid-epoch (the reference's BackupAndRestore only restarted whole
+    epochs). Each host tracks its own cursor over its own shard subset, but
+    lockstep consumers advance identically, so one host's cursor restores
+    every host."""
     info, paths = _shard_paths(path, split)
     assert info['frame_size'] == image_size, \
         f'Dataset has a different image size: {info["frame_size"]} != {image_size}'
@@ -204,27 +247,21 @@ def load_image_dataset(path, batch_size, image_size, split='train', repeat=None,
         finally:
             closer()
 
-    def iterator():
-        epoch = 0
-        while True:
-            yield from epoch_iterator(epoch)
-            epoch += 1
-            if repeat is None or (repeat > 0 and epoch >= repeat):
-                return
-
-    return Prefetcher(iterator)
+    return Prefetcher(_resumable_epochs(epoch_iterator, repeat, start_state),
+                      track_state=True)
 
 
 def load_token_dataset(path, batch_size, sequence_size, token_image_size,
                        split='train', repeat=None, max_samples_per_environment=-1,
-                       transform=None, shuffle=True, seed=0):
+                       transform=None, shuffle=True, seed=0, start_state=None):
     """(poses [B,S,7], tokens [B,S,h,w]) batches for transformer training.
 
     Supports comma-separated multi-dataset mixing and the val/test split
     fallback (ref tfrecord_dataset.py:134-197). Frames are shuffled within
     each environment and re-chunked into `sequence_size` pieces with
     drop_remainder; `transform(cameras, tokens, split)` applies pose
-    augmentation per sample."""
+    augmentation per sample. start_state: mid-epoch resume cursor (see
+    load_image_dataset)."""
     all_paths = []
     poses_num_dim = None
     for dpath in path.split(','):
@@ -243,6 +280,17 @@ def load_token_dataset(path, batch_size, sequence_size, token_image_size,
 
     host_id, num_hosts = _host_info()
     all_paths = _select_host_shards(all_paths, host_id, num_hosts)
+
+    # feed the pipeline's seeded rng to transforms that accept one, so pose
+    # augmentation stays deterministic across mid-epoch resume (process_batch
+    # 'simple'/'advanced' would otherwise draw from global np.random)
+    transform_accepts_rng = False
+    if transform is not None:
+        import inspect
+        try:
+            transform_accepts_rng = 'rng' in inspect.signature(transform).parameters
+        except (TypeError, ValueError):
+            pass
 
     def epoch_iterator(epoch):
         rng = random.Random((seed * 2654435761 + epoch) & 0xFFFFFFFF)
@@ -268,7 +316,9 @@ def load_token_dataset(path, batch_size, sequence_size, token_image_size,
                 sl = slice(i * sequence_size, (i + 1) * sequence_size)
                 sample = (poses[sl], tokens[sl])
                 if transform is not None:
-                    sample = transform(*sample, split=split)
+                    sample = (transform(*sample, split=split, rng=np_rng)
+                              if transform_accepts_rng
+                              else transform(*sample, split=split))
                 yield sample
                 count += 1
 
@@ -299,12 +349,5 @@ def load_token_dataset(path, batch_size, sequence_size, token_image_size,
                        np.stack([b[1] for b in batch], 0))
                 batch = []
 
-    def iterator():
-        epoch = 0
-        while True:
-            yield from epoch_iterator(epoch)
-            epoch += 1
-            if repeat is None or (repeat > 0 and epoch >= repeat):
-                return
-
-    return Prefetcher(iterator)
+    return Prefetcher(_resumable_epochs(epoch_iterator, repeat, start_state),
+                      track_state=True)

@@ -35,7 +35,16 @@ class CheckpointManager:
                 best_fn=lambda metrics: metrics['val_loss'],
                 best_mode='min'))
 
-    def save(self, step, state, val_loss=None):
+    def save(self, step, state, val_loss=None, aux=None):
+        """aux: small JSON-serializable side state tied to the rolling last
+        checkpoint (e.g. the data-iterator resume cursor) — written
+        atomically next to it, read back via load_aux()."""
+        if aux is not None and jax.process_index() == 0:
+            import json
+            tmp = os.path.join(self.job_dir, 'last_aux.json.tmp')
+            with open(tmp, 'w') as f:
+                json.dump({'step': int(step), **aux}, f)
+            os.replace(tmp, os.path.join(self.job_dir, 'last_aux.json'))
         if hasattr(state, '_asdict'):  # NamedTuple train states stored as dicts
             state = state._asdict()
         # Donation-safe async save: snapshot on DEVICE (cheap copy dispatch),
@@ -58,6 +67,15 @@ class CheckpointManager:
 
     def latest_step(self):
         return self._last.latest_step()
+
+    def load_aux(self):
+        """The aux dict from the newest save that carried one, or None."""
+        import json
+        path = os.path.join(self.job_dir, 'last_aux.json')
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
 
     @staticmethod
     def _restore_args(abstract_state):

@@ -187,11 +187,17 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
 
     ckpt = CheckpointManager(job_dir, config)
     start_step = 0
+    data_state = None
     if resume:
         restored, step = ckpt.restore_last(jax.tree.map(np.asarray, jax.device_get(state)))
         if restored is not None:
             state = CodebookTrainState(**jax.tree.map(jnp.asarray, restored))
             start_step = int(step)
+            # mid-epoch data-order resume: use the iterator cursor only if it
+            # belongs to the checkpoint we actually restored
+            aux = ckpt.load_aux()
+            if aux is not None and aux.get('step') == start_step:
+                data_state = aux.get('data_iterator')
 
     state = mesh_lib.replicate(mesh, state)
     if steps_per_call > 1:
@@ -207,8 +213,10 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
     logger = MetricLogger(job_dir, hparams=config.asdict(), use_wandb=wandb)
     steps_per_epoch = max(1, 1 + total_steps // epochs)
 
-    train_iter = iter(load_image_dataset(dataset_path, batch_size, config.image_size,
-                                         split='train', repeat=-1, seed=seed))
+    train_data = load_image_dataset(dataset_path, batch_size, config.image_size,
+                                    split='train', repeat=-1, seed=seed,
+                                    start_state=data_state)
+    train_iter = iter(train_data)
     step = start_step
     with mesh:
         while step < total_steps:
@@ -264,7 +272,9 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
             val_metrics = {k: float(np.mean(v)) for k, v in val_metrics.items()}
             if val_metrics:
                 logger.log(step, val_metrics, prefix='val')
-            ckpt.save(step, state, val_loss=val_metrics.get('total_loss'))
+            ckpt.save(step, state, val_loss=val_metrics.get('total_loss'),
+                      aux=({'data_iterator': train_data.state}
+                           if train_data.state is not None else None))
     ckpt.close()
     logger.close()
     return state

@@ -273,11 +273,17 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
             raise FileNotFoundError(f'No checkpoint found at {finetune_from}')
         state = TransformerTrainState(**jax.tree.map(jnp.asarray, restored))
         start_step = int(step)
-    elif resume:
+    data_state = None
+    if finetune_from is None and resume:
         restored, step = ckpt.restore_last(jax.tree.map(np.asarray, jax.device_get(state)))
         if restored is not None:
             state = TransformerTrainState(**jax.tree.map(jnp.asarray, restored))
             start_step = int(step)
+            # mid-epoch data-order resume: use the iterator cursor only if it
+            # belongs to the checkpoint we actually restored
+            aux = ckpt.load_aux()
+            if aux is not None and aux.get('step') == start_step:
+                data_state = aux.get('data_iterator')
 
     state = mesh_lib.replicate(mesh, state)
     if steps_per_call > 1:
@@ -315,10 +321,12 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
             return psnr, (gen * 255).astype(jnp.uint8)
 
     transform = functools.partial(process_batch, augment=config.augment_poses)
-    train_iter = iter(load_token_dataset(
+    train_data = load_token_dataset(
         dataset_path, batch_size, config.sequence_size, config.token_image_size,
         split='train', repeat=-1, seed=seed, transform=transform,
-        max_samples_per_environment=max_samples_per_environment))
+        max_samples_per_environment=max_samples_per_environment,
+        start_state=data_state)
+    train_iter = iter(train_data)
 
     rng = jax.random.PRNGKey(seed + 1)
     steps_per_epoch = max(1, total_steps // epochs)
@@ -373,7 +381,9 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
             val_metrics = {k: float(np.mean(v)) for k, v in val_metrics.items()}
             if val_metrics:
                 logger.log(step, val_metrics, prefix='val')
-            ckpt.save(step, state, val_loss=val_metrics.get('loss'))
+            ckpt.save(step, state, val_loss=val_metrics.get('loss'),
+                      aux=({'data_iterator': train_data.state}
+                           if train_data.state is not None else None))
     ckpt.close()
     logger.close()
     return state
