@@ -14,6 +14,17 @@ not absolute): current 102.4 ms [unrolled] / 116.7 [scan]; bias-input 105.8
 fastest form — precomputing the additive bias only adds HBM traffic for the
 [nq, qb, TL] bias tensor, and unrolled layer chains beat lax.scan for the
 pallas kernels. No kernel change warranted.
+
+FLASH VARIANT (2026-08-17, sum-reduced output so no fetch skew, 6-call
+chain, best of 5): a block-causal kernel with a DYNAMIC k-chunk fori_loop
+bounded by the q-tile index (online softmax, skipping the fully-masked
+upper triangle = ~2x less score/softmax work) measured 8.03 ms/call vs the
+single-pass kernel's 7.17 ms/call. The dynamic loop serializes 320-wide
+chunk matmuls and defeats Mosaic's load pipelining, costing more than the
+skipped triangle saves at TL=1280 where the whole K/V sits in VMEM. This
+confirms the module docstring's design note: below ~2k tokens, one big
+masked tile beats streaming. See flash_variant() below (kept here,
+out of the product path).
 """
 import functools
 import time
@@ -110,6 +121,71 @@ def main():
     a = np.asarray(run_current(q, k, v), np.float32)
     b = np.asarray(jax.jit(run_bias)(q, k, v), np.float32)
     print('max diff bias vs current:', float(np.abs(a - b).max()))
+
+
+def flash_variant():
+    """Measured-slower experiment (see module docstring): block-causal
+    forward with a dynamic k-chunk loop + online softmax. Kept for
+    re-evaluation at longer sequences or after Mosaic pipelining changes."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    import sys
+    sys.path.insert(0, __file__.rsplit('/', 2)[0])
+    from viewformer_tpu.ops import attention_pallas as ap
+
+    _NEG_INF = -1e9
+
+    def kernel(L, q_ref, k_ref, v_ref, o_ref):
+        qb = q_ref.shape[1]
+        dh = q_ref.shape[2]
+        i = pl.program_id(1)
+        q = q_ref[0]
+
+        def chunk(j, carry):
+            acc, m, l = carry
+            k = k_ref[0, pl.ds(j * qb, qb), :]
+            v = v_ref[0, pl.ds(j * qb, qb), :]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            row = (i * qb + jax.lax.broadcasted_iota(jnp.int32, (qb, qb), 0)) // L
+            col = (j * qb + jax.lax.broadcasted_iota(jnp.int32, (qb, qb), 1)) // L
+            s = jnp.where(row >= col, s, _NEG_INF)  # no-op when j < i
+            m_new = jnp.maximum(m, jnp.max(s, -1, keepdims=True))
+            scale = jnp.exp(m - m_new)
+            e = jnp.exp(s - m_new)
+            acc = acc * scale + jax.lax.dot_general(
+                e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return acc, m_new, l * scale + jnp.sum(e, -1, keepdims=True)
+
+        acc, _, l = jax.lax.fori_loop(
+            0, i + 1, chunk,
+            (jnp.zeros((qb, q_ref.shape[2]), jnp.float32),
+             jnp.full((qb, 1), _NEG_INF, jnp.float32),
+             jnp.zeros((qb, 1), jnp.float32)))
+        o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+    def run(q, k, v, L, interpret=False):
+        BH, TL, dh = q.shape
+        qb = ap._pick_q_block(TL, L)
+        return pl.pallas_call(
+            functools.partial(kernel, L),
+            grid=(BH, TL // qb),
+            in_specs=[
+                pl.BlockSpec((1, qb, dh), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((1, TL, dh), lambda b, i: (b, 0, 0)),
+                pl.BlockSpec((1, TL, dh), lambda b, i: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, qb, dh), lambda b, i: (b, i, 0)),
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            interpret=interpret,
+        )(q, k, v)
+
+    return run
 
 
 if __name__ == '__main__':
