@@ -6,8 +6,11 @@ shards and sets token_image_size in info.json. TPU-native redesign: a single
 jitted encode function with a fixed batch shape (padded tail batch instead of
 dynamic shapes), frames flattened across sequences exactly like the
 reference's unbatch/rebatch so device utilization is independent of sequence
-length.
-"""
+length. One batch stays in flight so the host download of batch i overlaps
+the device encode of batch i+1 (the tunnel/PCIe fetch otherwise serializes
+with compute), and with more than one device the batch is sharded over the
+mesh's data axis — the encode runs SPMD across all local chips (the
+reference pinned this pass to a single GPU, ref generate_codes.py:87)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,6 +28,11 @@ class LatentCodeTransformer:
         self.image_size = model.config.image_size
         self.batch_size = batch_size or model.config.batch_size
         self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import mesh as mesh_lib
+            assert self.batch_size % mesh.shape['data'] == 0, \
+                f'batch {self.batch_size} not divisible by data axis {mesh.shape["data"]}'
+            self.variables = mesh_lib.replicate(mesh, self.variables)
 
         import functools
 
@@ -46,20 +54,40 @@ class LatentCodeTransformer:
         self.dataset_info = dataset_info
         return dataset_info
 
-    def _encode_frames(self, frames):
-        """uint8 [N, H, W, C] -> int32 codes [N, h, w] with tail padding to
-        keep the jit specialization unique."""
+    def _dispatch(self, frames):
+        """uint8 [N, H, W, C] -> (device codes, N): pads the tail to the
+        fixed batch (unique jit specialization), shards over the mesh's data
+        axis when one is set, and returns WITHOUT fetching — the caller keeps
+        one batch in flight."""
         x = frames.astype(np.float32) / 255.0 * 2.0 - 1.0
         n = len(x)
         if n < self.batch_size:
             x = np.concatenate([x, np.zeros((self.batch_size - n,) + x.shape[1:], x.dtype)], 0)
-        codes = np.asarray(jax.device_get(self._encode(jnp.asarray(x))))
-        return codes[:n]
+        if self.mesh is not None:
+            from ..parallel import mesh as mesh_lib
+            x = mesh_lib.shard_batch(self.mesh, x)
+            with self.mesh:
+                return self._encode(x), n
+        return self._encode(jnp.asarray(x)), n
+
+    @staticmethod
+    def _fetch(inflight):
+        codes, n = inflight
+        return np.asarray(jax.device_get(codes))[:n]
 
     def __call__(self, split, dataset):
         pending = []  # (cameras, num_frames)
         frame_buffer = []
         code_chunks = []
+        inflight = None
+
+        def submit(frames):
+            """Dispatch `frames`; return the PREVIOUS batch's codes (or None)."""
+            nonlocal inflight
+            new = self._dispatch(frames)
+            done = self._fetch(inflight) if inflight is not None else None
+            inflight = new
+            return done
 
         def flush_ready():
             nonlocal code_chunks
@@ -87,10 +115,17 @@ class LatentCodeTransformer:
             while len(frame_buffer) >= self.batch_size:
                 batch = np.stack(frame_buffer[:self.batch_size], 0)
                 frame_buffer = frame_buffer[self.batch_size:]
-                code_chunks.append(self._encode_frames(batch))
-                yield from flush_ready()
+                done = submit(batch)
+                if done is not None:
+                    code_chunks.append(done)
+                    yield from flush_ready()
         if frame_buffer:
-            code_chunks.append(self._encode_frames(np.stack(frame_buffer, 0)))
+            done = submit(np.stack(frame_buffer, 0))
+            if done is not None:
+                code_chunks.append(done)
+                yield from flush_ready()
+        if inflight is not None:
+            code_chunks.append(self._fetch(inflight))
             yield from flush_ready()
         assert not pending, 'frames/codes bookkeeping mismatch'
 
@@ -99,6 +134,12 @@ def generate_codes(dataset, output, model, shards=None, batch_size=None,
                    splits=None, progress=True):
     """CLI entry: viewformer-cli generate-codes."""
     codebook_model, variables = load_model(model)
-    transformer = LatentCodeTransformer(codebook_model, variables, batch_size=batch_size)
+    batch = batch_size or codebook_model.config.batch_size
+    mesh = None
+    if len(jax.devices()) > 1:
+        from ..parallel import mesh as mesh_lib
+        mesh = mesh_lib.create_mesh_for_batch(batch)
+    transformer = LatentCodeTransformer(codebook_model, variables, batch_size=batch,
+                                        mesh=mesh)
     transform_dataset(dataset, output, transformer, splits=splits, shards=shards,
                       progress=progress)
