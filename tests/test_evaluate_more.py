@@ -192,3 +192,50 @@ def test_fused_predict_matches_one_shot_reference():
 
     np.testing.assert_array_equal(out['generated_images'], ref_images)
     np.testing.assert_allclose(out['generated_cameras'], ref_cams, atol=2e-4)
+
+
+def test_generate_batch_predictions_mesh_equals_single():
+    """Mesh-sharded evaluation (SPMD over the data axis) must produce
+    byte-identical predictions to the single-device path."""
+    import jax.numpy as jnp
+
+    from viewformer_tpu.evaluate.transformer import (JitCallCache,
+                                                     generate_batch_predictions)
+    from viewformer_tpu.models.migt import MIGT
+    from viewformer_tpu.models.vqgan import VQGAN
+    from viewformer_tpu.parallel import mesh as mesh_lib
+
+    cconfig = VQGANConfig(ch=32, ch_mult=[1, 2], num_res_blocks=1,
+                          attn_resolutions=[], z_channels=32, embed_dim=8,
+                          n_embed=16, image_size=32, perceptual_weight=0.0)
+    tconfig = MIGTConfig(n_embeddings=16, n_head=2, d_model=32, n_layer=1,
+                         dropout=0.0, sequence_size=4, token_image_size=16,
+                         total_steps=10, n_loss_skip=1,
+                         localization_weight=Schedule.from_str('1'))
+    cmodel, tmodel = VQGAN(cconfig), MIGT(tconfig)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(9), 3)
+    cvars = cmodel.init({'params': k1, 'quantizer': k2},
+                        np.zeros((1, 32, 32, 3), np.float32), training=False)
+    tvars = tmodel.init(k3, jnp.zeros((1, 4, 7), jnp.float32),
+                        jnp.zeros((1, 4, 16, 16), jnp.int32), compute_losses=True)
+
+    rng = np.random.RandomState(4)
+    frames = rng.randint(0, 256, (4, 4, 32, 32, 3)).astype(np.uint8)
+    cameras = rng.randn(4, 4, 7).astype(np.float32)
+    cameras[..., 3:] /= np.linalg.norm(cameras[..., 3:], axis=-1, keepdims=True)
+
+    single = generate_batch_predictions(tmodel, tvars, cmodel, cvars,
+                                        frames, cameras, _cache=JitCallCache())
+
+    mesh = mesh_lib.create_mesh_for_batch(4)
+    assert mesh.shape['data'] > 1
+    tvars_r = mesh_lib.replicate(mesh, tvars)
+    cvars_r = mesh_lib.replicate(mesh, cvars)
+    sharded = generate_batch_predictions(tmodel, tvars_r, cmodel, cvars_r,
+                                         frames, cameras, _cache=JitCallCache(),
+                                         mesh=mesh)
+
+    np.testing.assert_array_equal(single['generated_images'],
+                                  sharded['generated_images'])
+    np.testing.assert_allclose(single['generated_cameras'],
+                               sharded['generated_cameras'], atol=1e-5)
