@@ -85,7 +85,8 @@ _CACHE = JitCallCache()
 
 
 def generate_batch_predictions(transformer_model, transformer_vars, codebook_model,
-                               codebook_vars, images, cameras, _cache=None):
+                               codebook_vars, images, cameras, _cache=None,
+                               mesh=None):
     cache = _cache if _cache is not None else _CACHE
     key, predict = cache.get_or_build(
         (transformer_vars, codebook_vars), (images.shape[1:],),
@@ -98,7 +99,13 @@ def generate_batch_predictions(transformer_model, transformer_vars, codebook_mod
     fimages = fimages.astype(np.float32) / 255.0 * 2.0 - 1.0
     (fimages, cameras), b = cache.pad_batch(
         key, [fimages, np.asarray(cameras, np.float32)])
-    out = jax.device_get(predict(jnp.asarray(fimages), jnp.asarray(cameras)))
+    if mesh is not None and fimages.shape[0] % mesh.shape['data'] == 0:
+        from ..parallel import mesh as mesh_lib
+        fimages, cameras = mesh_lib.shard_batch(mesh, (fimages, cameras))
+        with mesh:
+            out = jax.device_get(predict(fimages, cameras))
+    else:  # indivisible first-batch edge case: plain single-device dispatch
+        out = jax.device_get(predict(jnp.asarray(fimages), jnp.asarray(cameras)))
     return dict(
         ground_truth_images=images[:, -1],
         generated_images=np.asarray(out['generated_images'])[:b],
@@ -158,6 +165,14 @@ def evaluate_transformer_multictx(loader, transformer_checkpoint, codebook_check
     if callable(loader) and not hasattr(loader, '__getitem__'):
         loader = loader(codebook_model.config.image_size)
 
+    # shard eval batches over all local chips (SPMD, batch-parallel program)
+    mesh = None
+    if len(jax.devices()) > 1 and batch_size > 1:
+        from ..parallel import mesh as mesh_lib
+        mesh = mesh_lib.create_mesh_for_batch(batch_size)
+        transformer_vars = mesh_lib.replicate(mesh, transformer_vars)
+        codebook_vars = mesh_lib.replicate(mesh, codebook_vars)
+
     store = build_store_predictions(job_dir, num_store_images)
     evaluator = MultiContextEvaluator(sequence_size, image_size=image_size)
     iterator = _batched_loader_iterator(loader, sequence_size, batch_size, num_eval_sequences)
@@ -167,7 +182,7 @@ def evaluate_transformer_multictx(loader, transformer_checkpoint, codebook_check
     for frames, cameras in iterator:
         prediction = generate_batch_predictions(transformer_model, transformer_vars,
                                                 codebook_model, codebook_vars,
-                                                frames, cameras)
+                                                frames, cameras, mesh=mesh)
         evaluator.update_state(**prediction)
         if store_ctx:
             prediction['ctx'] = frames[:, :-1]
