@@ -18,6 +18,12 @@ Conclusion: the crash is driven by backward-graph SIZE without remat, not
 by RNG primitives (the original round-1 attribution). `remat=True` (the
 trainers' default) is the required workaround at full size.
 
+2026-08-17 re-check: --migt --batch 40 (no remat) no longer 500s quickly —
+it ran >25 min without finishing compilation (killed by timeout). The
+failure mode changed from fast compiler error to pathologically slow
+compile; either way the un-rematerialized full-size graph is unusable and
+remat remains the required default. Bound re-runs with `timeout`.
+
 Usage on the target backend:
   python tools/repro_rng_backward_crash.py --migt --batch 40            # crash?
   python tools/repro_rng_backward_crash.py --migt --batch 40 --remat    # OK?
