@@ -232,3 +232,26 @@ def test_serve_loop_protocol(tmp_path):
     assert responses[6] == {'ok': True, 'op': 'stop'}
     assert os.path.exists(out_png)
     assert np.asarray(Image.open(out_png)).shape == (32, 32, 3)
+
+
+def test_session_mesh_equals_single(setup):
+    """A mesh-sharded session (scene batch over the data axis) must produce
+    identical renders/localizations to the single-device session."""
+    from viewformer_tpu.parallel import mesh as mesh_lib
+
+    cmodel, cvars, tmodel, tvars, images, cameras = setup
+    single = ServingSession(tmodel, tvars, cmodel, cvars, batch_size=2,
+                            max_frames=8)
+    mesh = mesh_lib.create_mesh_for_batch(2)
+    assert mesh.shape['data'] == 2
+    sharded = ServingSession(tmodel, tvars, cmodel, cvars, batch_size=2,
+                             max_frames=8, mesh=mesh)
+    for session in (single, sharded):
+        session.start(images[:, :2], cameras[:, :2])
+        session.observe(images[:, 2], cameras[:, 2])
+    img_a, codes_a = single.render(cameras[:, 3], return_tokens=True)
+    img_b, codes_b = sharded.render(cameras[:, 3], return_tokens=True)
+    np.testing.assert_array_equal(codes_a, codes_b)
+    np.testing.assert_array_equal(img_a, img_b)
+    np.testing.assert_allclose(single.localize(images[:, 3]),
+                               sharded.localize(images[:, 3]), atol=1e-5)

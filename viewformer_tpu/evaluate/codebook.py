@@ -34,7 +34,8 @@ def make_reconstruct(codebook_model, codebook_vars):
     return functools.partial(reconstruct, variables)
 
 
-def generate_batch_predictions(codebook_model, codebook_vars, images, _cache=None):
+def generate_batch_predictions(codebook_model, codebook_vars, images, _cache=None,
+                               mesh=None):
     cache = _cache if _cache is not None else _CACHE
     key, reconstruct = cache.get_or_build(
         (codebook_vars,), (images.shape[1:],),
@@ -43,7 +44,13 @@ def generate_batch_predictions(codebook_model, codebook_vars, images, _cache=Non
     fimages = resize(images, codebook_model.config.image_size)
     x = fimages.astype(np.float32) / 255.0 * 2.0 - 1.0
     (x,), b = cache.pad_batch(key, [x])
-    generated = np.asarray(jax.device_get(reconstruct(jnp.asarray(x))))[:b]
+    if mesh is not None and x.shape[0] % mesh.shape['data'] == 0:
+        from ..parallel import mesh as mesh_lib
+        with mesh:
+            generated = np.asarray(jax.device_get(
+                reconstruct(mesh_lib.shard_batch(mesh, x))))[:b]
+    else:  # indivisible first-batch edge case: plain single-device dispatch
+        generated = np.asarray(jax.device_get(reconstruct(jnp.asarray(x))))[:b]
     return dict(ground_truth_images=fimages, generated_images=generated,
                 ground_truth_cameras=None, generated_cameras=None)
 
@@ -57,6 +64,13 @@ def evaluate_codebook(loader, codebook_checkpoint, job_dir, batch_size=64,
     codebook_model, codebook_vars = load_model(codebook_checkpoint)
     if callable(loader) and not hasattr(loader, '__getitem__'):
         loader = loader(codebook_model.config.image_size)
+
+    # shard eval batches over all local chips (SPMD, batch-parallel program)
+    mesh = None
+    if len(jax.devices()) > 1 and batch_size > 1:
+        from ..parallel import mesh as mesh_lib
+        mesh = mesh_lib.create_mesh_for_batch(batch_size)
+        codebook_vars = mesh_lib.replicate(mesh, codebook_vars)
 
     evaluator = Evaluator(image_size=image_size)
     store = build_store_predictions(job_dir, num_store_images)
@@ -83,7 +97,8 @@ def evaluate_codebook(loader, codebook_checkpoint, job_dir, batch_size=64,
         from tqdm import tqdm
         iterator = tqdm(iterator, desc='evaluating codebook')
     for frames in iterator:
-        prediction = generate_batch_predictions(codebook_model, codebook_vars, frames)
+        prediction = generate_batch_predictions(codebook_model, codebook_vars, frames,
+                                                mesh=mesh)
         evaluator.update_with_image(prediction['ground_truth_images'],
                                     prediction['generated_images'])
         store(ground_truth_cameras=np.zeros((len(frames), 7), np.float32),

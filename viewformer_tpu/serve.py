@@ -75,15 +75,26 @@ class ServingSession:
     cache_dtype: K/V cache dtype; defaults to the transformer param dtype
         (pass jnp.bfloat16 for serving; accumulations stay f32 inside the
         attention via preferred_element_type).
+    mesh: shard the scene batch over the mesh's data axis — every program
+        (prefill/observe/render/localize) is batch-parallel, so a session
+        serving N scenes runs SPMD across all local chips.
     """
 
     def __init__(self, transformer_model, transformer_vars, codebook_model,
-                 codebook_vars, batch_size=1, max_frames=None, cache_dtype=None):
+                 codebook_vars, batch_size=1, max_frames=None, cache_dtype=None,
+                 mesh=None):
         self._tmodel = transformer_model
         self._cmodel = codebook_model
         self._tparams = transformer_vars['params']
         self._cvars = {'params': codebook_vars['params'],
                        'quantizer': codebook_vars['quantizer']}
+        self._mesh = mesh
+        if mesh is not None:
+            from .parallel import mesh as mesh_lib
+            assert batch_size % mesh.shape['data'] == 0, \
+                f'batch {batch_size} not divisible by data axis {mesh.shape["data"]}'
+            self._tparams = mesh_lib.replicate(mesh, self._tparams)
+            self._cvars = mesh_lib.replicate(mesh, self._cvars)
         cfg = transformer_model.config
         self.batch_size = batch_size
         self.max_frames = (max_frames if max_frames is not None
@@ -177,6 +188,21 @@ class ServingSession:
         self._localize_fn = _localize
         self._tokens_fn = jax.jit(_tokens)
 
+    # -- dispatch plumbing ---------------------------------------------------
+
+    def _shard(self, *arrays):
+        """Place host inputs on the mesh's data axis (no-op without a mesh)."""
+        if self._mesh is None:
+            return arrays
+        from .parallel import mesh as mesh_lib
+        return mesh_lib.shard_batch(self._mesh, arrays)
+
+    def _run(self, fn, *args):
+        if self._mesh is None:
+            return fn(*args)
+        with self._mesh:
+            return fn(*args)
+
     # -- image plumbing -----------------------------------------------------
 
     def _prepare_images(self, images, n_leading):
@@ -222,8 +248,9 @@ class ServingSession:
         T = cameras.shape[1]
         if not 1 <= T <= self.max_frames:
             raise ValueError(f'context size {T} not in [1, {self.max_frames}]')
-        self._cache, self._transform = self._start_fn(
-            self._tparams, self._cvars, images, cameras)
+        images, cameras = self._shard(images, cameras)
+        self._cache, self._transform = self._run(
+            self._start_fn, self._tparams, self._cvars, images, cameras)
         self._n_frames = T
 
     def observe(self, image, camera):
@@ -236,8 +263,9 @@ class ServingSession:
                 f'context full ({self.max_frames} frames); raise max_frames')
         image = self._prepare_images(image, 1)
         camera = self._prepare_cameras(camera, 1)
-        self._cache = self._observe_fn(self._tparams, self._cvars, self._cache,
-                                       self._transform, image, camera)
+        image, camera = self._shard(image, camera)
+        self._cache = self._run(self._observe_fn, self._tparams, self._cvars,
+                                self._cache, self._transform, image, camera)
         self._n_frames += 1
 
     def render(self, cameras, return_tokens=False):
@@ -250,8 +278,9 @@ class ServingSession:
         squeeze = cameras.ndim == 2 or (self.batch_size == 1 and cameras.ndim == 1)
         cameras = self._prepare_cameras(
             cameras[..., None, :] if squeeze else cameras, 2)
-        codes, images = self._render_fn(self._tparams, self._cvars, self._cache,
-                                        self._transform, cameras)
+        (cameras,) = self._shard(cameras)
+        codes, images = self._run(self._render_fn, self._tparams, self._cvars,
+                                  self._cache, self._transform, cameras)
         images = np.asarray(images)
         codes = np.asarray(codes)
         if squeeze:
@@ -274,16 +303,18 @@ class ServingSession:
             raise RuntimeError(
                 'model trained without localization (localization_weight 0)')
         image = self._prepare_images(image, 1)
-        camera = self._localize_fn(self._tparams, self._cvars, self._cache,
-                                   self._transform, image)
+        (image,) = self._shard(image)
+        camera = self._run(self._localize_fn, self._tparams, self._cvars,
+                           self._cache, self._transform, image)
         return np.asarray(camera)
 
     def render_logits(self, cameras):
         """Diagnostic: query-branch logits [B, N, h, w, vocab] for cameras
         [B, N, 7] (numerics-parity testing against the one-shot path)."""
         cameras = self._prepare_cameras(cameras, 2)
-        _, logits = self._tokens_fn(self._tparams, self._cache,
-                                    self._transform, cameras)
+        (cameras,) = self._shard(cameras)
+        _, logits = self._run(self._tokens_fn, self._tparams, self._cache,
+                              self._transform, cameras)
         return np.asarray(logits)
 
 
