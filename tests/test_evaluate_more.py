@@ -239,3 +239,26 @@ def test_generate_batch_predictions_mesh_equals_single():
                                   sharded['generated_images'])
     np.testing.assert_allclose(single['generated_cameras'],
                                sharded['generated_cameras'], atol=1e-5)
+
+
+def test_run_with_batchsize_pads_tail_to_one_specialization():
+    """Every dispatch must see the full micro-batch shape (variable tails
+    would recompile the full-size program on TPU); outputs unpadded."""
+    from viewformer_tpu.evaluate.multictx_allimg import run_with_batchsize
+
+    seen = []
+
+    def fn(a, b):
+        seen.append(a.shape[0])
+        return a * 2, b + 1
+
+    a = np.arange(10, dtype=np.float32)
+    b = np.arange(10, dtype=np.float32) * 10
+    out_a, out_b = run_with_batchsize(fn, 4, a, b)
+    assert seen == [4, 4, 4]  # tail of 2 padded up
+    np.testing.assert_array_equal(out_a, a * 2)
+    np.testing.assert_array_equal(out_b, b + 1)
+
+    seen.clear()
+    single = run_with_batchsize(lambda x: x + 1, 4, np.ones((3, 2)))
+    assert single.shape == (3, 2)

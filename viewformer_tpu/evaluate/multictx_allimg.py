@@ -58,11 +58,27 @@ def make_transformer_predict(transformer_model, transformer_vars):
 
 
 def run_with_batchsize(fn, batch_size, *args, **kwargs):
-    """Micro-batch a function over leading-dim chunks (ref allimg.py:51-62)."""
+    """Micro-batch a function over leading-dim chunks (ref allimg.py:51-62).
+
+    Tail chunks are padded to `batch_size` (repeating the last sample) so
+    every dispatch hits ONE jit specialization — per-sequence frame counts
+    vary, and each distinct tail shape would otherwise recompile the
+    full-size program (minutes on TPU)."""
     total = len(args[0])
     outs = []
     for i in range(0, total, batch_size):
-        outs.append(fn(*[x[i:i + batch_size] for x in args], **kwargs))
+        chunk = [x[i:i + batch_size] for x in args]
+        n = len(chunk[0])
+        if n < batch_size:
+            chunk = [np.concatenate(
+                [x, np.repeat(np.asarray(x)[-1:], batch_size - n, axis=0)], 0)
+                for x in chunk]
+        out = fn(*chunk, **kwargs)
+        if not isinstance(out, tuple):
+            out = np.asarray(out)[:n]
+        else:
+            out = tuple(np.asarray(o)[:n] if o is not None else None for o in out)
+        outs.append(out)
     if not isinstance(outs[0], tuple):
         return np.concatenate([np.asarray(o) for o in outs], 0)
     return tuple(
