@@ -197,3 +197,35 @@ def test_token_pipeline_seeded_transform_rng(datasets):
     again = list(load_token_dataset(codes_path, **kwargs))
     assert draws == first_draws
     assert len(full) == len(again)
+
+
+def test_prefetcher_close_unblocks_abandoned_producer():
+    """Breaking out of iteration leaves the producer blocked in queue.put;
+    close() must drain until the thread exits (thread/pool leak otherwise),
+    and the source generator's cleanup must run."""
+    import time
+
+    from viewformer_tpu.data.pipeline import Prefetcher
+
+    closed = []
+
+    def factory():
+        try:
+            i = 0
+            while True:
+                yield i
+                i += 1
+        finally:
+            closed.append(True)
+
+    pf = Prefetcher(factory, buffer_size=1)
+    it = iter(pf)
+    assert next(it) == 0
+    time.sleep(0.05)  # let the producer fill the queue and block in put
+    pf.close()
+    assert not pf._thread.is_alive()
+    for _ in range(20):  # GC of the dropped generator runs finally
+        if closed:
+            break
+        time.sleep(0.05)
+    assert closed

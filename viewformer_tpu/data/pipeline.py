@@ -151,7 +151,16 @@ class Prefetcher:
             yield item
 
     def close(self):
+        """Stop the producer even if the consumer broke out early: the
+        producer may be blocked in queue.put (bounded queue, consumer gone),
+        so drain until it observes the stop flag and exits — otherwise every
+        abandoned iterator leaks a blocked thread plus its decode pool."""
         self._stop.set()
+        while self._thread is not None and self._thread.is_alive():
+            try:
+                self._queue.get(timeout=0.1)
+            except queue.Empty:
+                pass
 
 
 def _resumable_epochs(epoch_iterator, repeat, start_state):

@@ -252,8 +252,9 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
                               + ' '.join(f'{k}={float(v):.4f}' for k, v in m.items()))
             # validation at epoch end
             val_metrics = {}
-            val_iter = iter(load_image_dataset(dataset_path, batch_size, config.image_size,
-                                               split='test', repeat=1, shuffle=False, seed=seed))
+            val_data = load_image_dataset(dataset_path, batch_size, config.image_size,
+                                          split='test', repeat=1, shuffle=False, seed=seed)
+            val_iter = iter(val_data)
             count = 0
             for batch in val_iter:
                 if count >= num_val_batches:
@@ -269,12 +270,14 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
                     logger.log_images(step, (recon * 255).astype(np.uint8),
                                       tag='reconstructed')
                 count += 1
+            val_data.close()  # early break leaves the producer blocked otherwise
             val_metrics = {k: float(np.mean(v)) for k, v in val_metrics.items()}
             if val_metrics:
                 logger.log(step, val_metrics, prefix='val')
             ckpt.save(step, state, val_loss=val_metrics.get('total_loss'),
                       aux=({'data_iterator': train_data.state}
                            if train_data.state is not None else None))
+    train_data.close()
     ckpt.close()
     logger.close()
     return state

@@ -360,10 +360,11 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
                         print(f'step {step}/{total_steps} '
                               + ' '.join(f'{k}={float(v):.4f}' for k, v in m.items()))
             # validation
-            val_iter = iter(load_token_dataset(
+            val_data = load_token_dataset(
                 dataset_path, batch_size, config.sequence_size, config.token_image_size,
                 split='test', repeat=1, seed=seed, shuffle=False,
-                transform=functools.partial(process_batch, augment=config.augment_poses)))
+                transform=functools.partial(process_batch, augment=config.augment_poses))
+            val_iter = iter(val_data)
             val_metrics = {}
             for i, batch in enumerate(val_iter):
                 if i >= validation_steps:
@@ -378,12 +379,14 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
                     if i == 0:
                         logger.log_images(step, np.asarray(jax.device_get(gen_images)),
                                           tag='generated')
+            val_data.close()  # early break leaves the producer blocked otherwise
             val_metrics = {k: float(np.mean(v)) for k, v in val_metrics.items()}
             if val_metrics:
                 logger.log(step, val_metrics, prefix='val')
             ckpt.save(step, state, val_loss=val_metrics.get('loss'),
                       aux=({'data_iterator': train_data.state}
                            if train_data.state is not None else None))
+    train_data.close()
     ckpt.close()
     logger.close()
     return state
