@@ -95,6 +95,20 @@ def test_evaluate_sevenscenes_standard(scenes_path, checkpoints, tmp_path):
     assert np.isfinite(results['chess']['loc-dist'])
     assert os.path.exists(os.path.join(tmp_path, 'job', 'chess', 'results.json'))
 
+    # batched queries (--batch-size) must reproduce the B=1 results exactly:
+    # context sampling draws from the same per-scene seeded rng in the same
+    # index order regardless of batching
+    batched = evaluate_sevenscenes(
+        scenes_path, transformer, codebook, str(tmp_path / 'job2'),
+        scenes=['chess'], num_eval_sequences=2, num_context_views=5,
+        image_size=32, num_store_images=2, progress=False, batch_size=2)
+    for key, value in results['chess'].items():
+        if value is None:
+            assert batched['chess'][key] is None
+        else:
+            np.testing.assert_allclose(batched['chess'][key], value, atol=1e-5,
+                                       err_msg=key)
+
 
 @pytest.mark.slow
 def test_evaluate_sevenscenes_generated_images(scenes_path, checkpoints, tmp_path):

@@ -268,14 +268,47 @@ def evaluate_sevenscenes(path, transformer_checkpoint, codebook_checkpoint, job_
         else:
             random.Random(42).shuffle(indices)
         iterator = tqdm(indices, desc=f'evaluating {scene}') if progress else indices
+        if generation_procedure == 'standard':
+            # the standard procedure is per-query independent, so queries
+            # batch together (each with its own retrieved+sampled context) —
+            # the reference and the special procedures below run one query
+            # per forward; --batch-size makes the TPU batch-efficient
+            buf_cameras, buf_frames = [], []
+
+            def flush():
+                if not buf_cameras:
+                    return
+                prediction = generate_batch_predictions(
+                    model, model_vars, codebook_model, codebook_vars,
+                    np.concatenate(buf_frames, 0), np.concatenate(buf_cameras, 0))
+                evaluator.update_state(**prediction)
+                store(**prediction)
+                buf_cameras.clear()
+                buf_frames.clear()
+
+            for index in iterator:
+                cameras, frames = build_batch(test_loader[index])
+                buf_cameras.append(cameras)
+                buf_frames.append(frames)
+                if len(buf_cameras) == batch_size:
+                    flush()
+                    if progress:
+                        iterator.set_postfix(evaluator.get_progress_bar_info())
+            flush()
+            result = evaluator.result()
+            all_results[scene] = result
+            print(f'Results on {scene}:')
+            for m, val in result.items():
+                print(f'    {m}: ' + ('n/a' if val is None else f'{val:.6f}'))
+            os.makedirs(os.path.join(job_dir, scene), exist_ok=True)
+            with open(os.path.join(job_dir, scene, 'results.json'), 'w') as f:
+                json.dump(result, f)
+            continue
         for index in iterator:
             item = test_loader[index]
             # frames_files survives only on the raw loader; re-fetch names
             cameras, frames = build_batch(item)
-            if generation_procedure == 'standard':
-                prediction = generate_batch_predictions(model, model_vars, codebook_model,
-                                                        codebook_vars, frames, cameras)
-            elif generation_procedure == 'generated_images':
+            if generation_procedure == 'generated_images':
                 prediction = generate_batch_predictions_using_generated_images(
                     model, model_vars, codebook_model, codebook_vars, frames, cameras,
                     num_gen_ctx=num_gen_ctx)
