@@ -146,3 +146,23 @@ def test_evaluate_sevenscenes_baseline(scenes_path, tmp_path):
         assert np.isfinite(out['chess']['loc-dist'])
     # oracle should beat mean on position
     assert results['position_oracle']['loc-dist'] <= results['mean']['loc-dist'] + 1e-6
+
+
+@pytest.mark.slow
+def test_evaluate_sevenscenes_multictx(scenes_path, checkpoints, tmp_path):
+    """Previously untested command: 7-Scenes x multi-context grid with
+    batched queries and tiny context/image overrides."""
+    from viewformer_tpu.evaluate.sevenscenes_multictx import \
+        evaluate_sevenscenes_multictx
+
+    codebook, transformer = checkpoints
+    results = evaluate_sevenscenes_multictx(
+        scenes_path, transformer, codebook, str(tmp_path / 'job'),
+        scenes=['chess'], num_eval_sequences=2, batch_size=2,
+        num_context_views=5, image_size=32, num_store_images=2,
+        progress=False)
+    assert 'chess' in results
+    # one metric block per context size 1..5
+    assert np.isfinite(results['chess']['ctx05']['psnr'])
+    assert np.isfinite(results['chess']['ctx01']['loc-dist'])
+    assert os.path.exists(os.path.join(tmp_path, 'job', 'chess', 'results.json'))

@@ -490,9 +490,12 @@ def evaluate_sevenscenes_baseline_cmd(path, job_dir, image_match_map, scenes,
 @click.option('--num-eval-sequences', type=int, default=100)
 @click.option('--store-ctx/--no-store-ctx', default=True)
 @click.option('--num-store-images', type=int, default=100)
+@click.option('--num-context-views', type=int, default=19)
+@click.option('--image-size', type=int, default=128)
 def evaluate_sevenscenes_multictx_cmd(path, transformer_model, codebook_model, job_dir,
                                       batch_size, scenes, num_eval_sequences,
-                                      store_ctx, num_store_images):
+                                      store_ctx, num_store_images,
+                                      num_context_views, image_size):
     """7-Scenes x multi-context-size grid evaluation."""
     from .evaluate.sevenscenes_multictx import evaluate_sevenscenes_multictx
     evaluate_sevenscenes_multictx(path, transformer_model, codebook_model, job_dir,
@@ -500,7 +503,9 @@ def evaluate_sevenscenes_multictx_cmd(path, transformer_model, codebook_model, j
                                   scenes=scenes.split(',') if scenes else None,
                                   num_eval_sequences=num_eval_sequences,
                                   store_ctx=store_ctx,
-                                  num_store_images=num_store_images)
+                                  num_store_images=num_store_images,
+                                  num_context_views=num_context_views,
+                                  image_size=image_size)
 
 
 @evaluate.command('co3d')

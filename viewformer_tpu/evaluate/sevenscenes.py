@@ -214,7 +214,11 @@ def evaluate_sevenscenes(path, transformer_checkpoint, codebook_checkpoint, job_
                          num_store_images=100, top_n_matched_images=0, num_gen_ctx=0,
                          generation_procedure='standard', pose_multiplier=None,
                          num_context_views=19, image_size=128, progress=True):
-    """CLI entry: viewformer-cli evaluate 7scenes (ref :200-282)."""
+    """CLI entry: viewformer-cli evaluate 7scenes (ref :200-282).
+
+    sequence_size is accepted-and-unused exactly like the reference's
+    vestigial flag (ref evaluate_sevenscenes.py:208 declares it, never reads
+    it); context length is num_context_views + 1."""
     from tqdm import tqdm
 
     from ..models import load_model

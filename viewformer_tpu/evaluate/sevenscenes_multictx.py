@@ -18,7 +18,8 @@ from .sevenscenes import SceneLookup
 def evaluate_sevenscenes_multictx(path, transformer_checkpoint, codebook_checkpoint,
                                   job_dir, batch_size=1, scenes=None,
                                   num_eval_sequences=100, store_ctx=True,
-                                  num_store_images=100, progress=True):
+                                  num_store_images=100, num_context_views=19,
+                                  image_size=128, progress=True):
     from tqdm import tqdm
 
     from ..models import load_model
@@ -30,7 +31,7 @@ def evaluate_sevenscenes_multictx(path, transformer_checkpoint, codebook_checkpo
     model = model_vars = None
     loaded = None
     for scene in scenes:
-        scene_lookup = SceneLookup(path, scene, 128)
+        scene_lookup = SceneLookup(path, scene, image_size)
         checkpoint = transformer_checkpoint.format(scene=scene)
         if model is None or checkpoint != loaded:
             model, model_vars = load_model(checkpoint)
@@ -38,7 +39,7 @@ def evaluate_sevenscenes_multictx(path, transformer_checkpoint, codebook_checkpo
         rng = random.Random(42)
 
         def build_batch(batch):
-            ctx = rng.sample(scene_lookup.files, 19)
+            ctx = rng.sample(scene_lookup.files, num_context_views)
             ctx_cameras, ctx_frames = tuple(np.stack(y, 0) for y in
                                             zip(*(scene_lookup[x] for x in ctx)))
             cameras = np.concatenate((ctx_cameras, np.asarray(batch['cameras'])), 0)[None]
@@ -46,23 +47,41 @@ def evaluate_sevenscenes_multictx(path, transformer_checkpoint, codebook_checkpo
             return cameras.astype(np.float32), frames
 
         store = build_store_predictions(os.path.join(job_dir, scene), num_store_images)
-        evaluator = MultiContextEvaluator(20, image_size=128)
+        evaluator = MultiContextEvaluator(num_context_views + 1,
+                                          image_size=image_size)
         test_loader = ChangedImageSizeLoader(FixedSequenceSizeLoader(
             SevenScenesLoader(path=path, split='test', scenes=[scene],
-                              _load_file_paths=True), 1), 128)
+                              _load_file_paths=True), 1), image_size)
         indices = random.Random(42).sample(
             list(range(len(test_loader))), min(len(test_loader), num_eval_sequences))
         iterator = tqdm(indices, desc=f'evaluating {scene}') if progress else indices
-        for index in iterator:
-            cameras, frames = build_batch(test_loader[index])
-            prediction = generate_batch_predictions(model, model_vars, codebook_model,
-                                                    codebook_vars, frames, cameras)
+        # queries are independent, so --batch-size stacks them into one
+        # forward (context sampling stays in per-index rng order)
+        buf_cameras, buf_frames = [], []
+
+        def flush():
+            if not buf_cameras:
+                return
+            frames = np.concatenate(buf_frames, 0)
+            prediction = generate_batch_predictions(
+                model, model_vars, codebook_model, codebook_vars,
+                frames, np.concatenate(buf_cameras, 0))
             evaluator.update_state(**prediction)
             if store_ctx:
                 prediction['ctx'] = frames[:, :-1]
             store(**prediction)
-            if progress:
-                iterator.set_postfix(evaluator.get_progress_bar_info())
+            buf_cameras.clear()
+            buf_frames.clear()
+
+        for index in iterator:
+            cameras, frames = build_batch(test_loader[index])
+            buf_cameras.append(cameras)
+            buf_frames.append(frames)
+            if len(buf_cameras) == batch_size:
+                flush()
+                if progress:
+                    iterator.set_postfix(evaluator.get_progress_bar_info())
+        flush()
         result = evaluator.result()
         all_results[scene] = result
         print(f'Results on {scene}:')
