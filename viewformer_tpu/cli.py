@@ -142,12 +142,17 @@ def dataset_shuffle(dataset_path, output, seed):
 @dataset.command('visualize', cls=LoaderCommand)
 @click.option('--loader', 'loader_name', required=True)
 @click.option('--image-size', type=int, default=None)
-def dataset_visualize(loader_name, image_size, loader_kwargs=None):
-    """Interactive matplotlib browser for sequences + poses."""
+@click.option('--output', default=None,
+              help='write a preview png here instead of an interactive viewer')
+@click.option('--max-sequences', type=int, default=4)
+def dataset_visualize(loader_name, image_size, output, max_sequences,
+                      loader_kwargs=None):
+    """Interactive matplotlib browser for sequences + poses (headless with
+    --output)."""
     from .commands.visualize import visualize_dataset
     loader = _build_loader(loader_name, loader_kwargs or {}, split='train',
                            image_size=image_size)
-    visualize_dataset(loader)
+    visualize_dataset(loader, output=output, max_sequences=max_sequences)
 
 
 # ---------------------------------------------------------------------------
