@@ -255,3 +255,22 @@ def test_session_mesh_equals_single(setup):
     np.testing.assert_array_equal(img_a, img_b)
     np.testing.assert_allclose(single.localize(images[:, 3]),
                                sharded.localize(images[:, 3]), atol=1e-5)
+
+
+def test_context_beyond_trained_length(setup):
+    """max_frames may exceed the trained context (sequence_size - 1 = 4):
+    nothing architectural pins the frame count (wpe is per-token within a
+    frame), so a session can keep observing; rendering over 6 cached frames
+    must produce finite, mask-consistent outputs."""
+    cmodel, cvars, tmodel, tvars, images, cameras = setup
+    assert tmodel.config.sequence_size - 1 == 4
+    session = ServingSession(tmodel, tvars, cmodel, cvars, batch_size=2,
+                             max_frames=8)
+    session.start(images[:, :4], cameras[:, :4])
+    for t in (0, 1):  # re-observe frames: context grows to 6 > 4
+        session.observe(images[:, t], cameras[:, t])
+    assert session.context_frames == 6
+    logits = session.render_logits(cameras[:, 3:4])
+    assert np.isfinite(logits).all()
+    rendered = session.render(cameras[:, 3])
+    assert rendered.shape == (2, 32, 32, 3)

@@ -19,6 +19,11 @@ from .transformer import generate_batch_predictions
 def evaluate_co3d(path, transformer_checkpoint, codebook_checkpoint, job_dir='.',
                   categories=None, single_sequence_evaluation=False, num_workers=16,
                   progress=True):
+    """single_sequence_evaluation/num_workers are accepted-and-unused like
+    the reference's: its `task` is hardcoded to "multisequence" at BOTH
+    levels (ref evaluate_co3d.py:100,157), so the singlesequence branches
+    (all_source_cameras via num_workers, sequence-id loop) are dead code
+    there too; the flags exist only for CLI-surface parity."""
     import torch
     from tqdm import tqdm
 
