@@ -23,6 +23,7 @@ at 128px fp16 => 40 seq/s) with the transformer pass overlapping. Replace
 with a measured number when available.
 """
 import json
+import os
 import time
 
 import numpy as np
@@ -30,11 +31,25 @@ import numpy as np
 ESTIMATED_A100_REFERENCE_FPS = 40.0
 S = 20
 B = 32  # sequences per call -> 608 context images through the conv tower
+# B=48 measured identical fps (117.2 vs 118.4, 2026-08-17): compute-bound.
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache (same dir as the CLI): cold full-size
+    compiles through the tunnel cost minutes and vary with backend load —
+    warm runs keep the whole bench within the driver's budget."""
+    import jax
+    cache_dir = os.path.expanduser('~/.cache/viewformer_tpu/xla_cache')
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
 
 
 def main(verbose=False):
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from viewformer_tpu.config import MIGTConfig, VQGANConfig
     from viewformer_tpu.models import AutoModel
@@ -187,6 +202,8 @@ def serve(verbose=False):
 
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from viewformer_tpu.config import MIGTConfig, VQGANConfig
     from viewformer_tpu.models import AutoModel
