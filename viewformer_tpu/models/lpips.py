@@ -77,14 +77,18 @@ def _lpips_forward(params, img0, img1):
 class LPIPS:
     def __init__(self, params):
         self._params = params
-        self._fn = jax.jit(functools.partial(_lpips_forward, params))
+        # params are a CALL argument, never jit-bound: partial-bound arrays
+        # get baked into the HLO as constants (~59MB of VGG weights),
+        # bloating the executable and compile time (see CLAUDE.md)
+        self._fn = jax.jit(_lpips_forward)
 
     def __call__(self, img0, img1):
         """Images [N, H, W, 3] (or [..., H, W, 3]) in [-1, 1] -> LPIPS [...]"""
         img0 = jnp.asarray(img0, jnp.float32)
         img1 = jnp.asarray(img1, jnp.float32)
         batch_shape = img0.shape[:-3]
-        out = self._fn(img0.reshape((-1,) + img0.shape[-3:]),
+        out = self._fn(self._params,
+                       img0.reshape((-1,) + img0.shape[-3:]),
                        img1.reshape((-1,) + img1.shape[-3:]))
         return out.reshape(batch_shape)
 
