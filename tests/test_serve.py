@@ -207,6 +207,7 @@ def test_serve_loop_protocol(tmp_path):
     out_png = str(tmp_path / 'render.png')
 
     requests = [
+        {'op': 'status'},
         {'op': 'start', 'images': paths[:2],
          'cameras': cameras[:2].tolist()},
         {'op': 'observe', 'image': paths[2], 'camera': cameras[2].tolist()},
@@ -222,14 +223,16 @@ def test_serve_loop_protocol(tmp_path):
 
     responses = [json.loads(line) for line in stdout.getvalue().splitlines()]
     assert responses[0] == {'ok': True, 'op': 'ready', 'max_frames': 4,
-                            'image_size': 32}
-    assert responses[1]['ok'] and responses[1]['context_frames'] == 2
-    assert responses[2]['ok'] and responses[2]['context_frames'] == 3
-    assert responses[3]['ok'] and responses[3]['outputs'] == [out_png]
-    assert responses[4]['ok'] and len(responses[4]['camera']) == 7
-    assert np.isfinite(responses[4]['camera']).all()
-    assert not responses[5]['ok'] and 'bogus' in responses[5]['error']
-    assert responses[6] == {'ok': True, 'op': 'stop'}
+                            'image_size': 32, 'localize': True}
+    assert responses[1]['ok'] and not responses[1]['started']
+    assert responses[1]['localize'] is True
+    assert responses[2]['ok'] and responses[2]['context_frames'] == 2
+    assert responses[3]['ok'] and responses[3]['context_frames'] == 3
+    assert responses[4]['ok'] and responses[4]['outputs'] == [out_png]
+    assert responses[5]['ok'] and len(responses[5]['camera']) == 7
+    assert np.isfinite(responses[5]['camera']).all()
+    assert not responses[6]['ok'] and 'bogus' in responses[6]['error']
+    assert responses[7] == {'ok': True, 'op': 'stop'}
     assert os.path.exists(out_png)
     assert np.asarray(Image.open(out_png)).shape == (32, 32, 3)
 

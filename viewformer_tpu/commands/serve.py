@@ -13,6 +13,7 @@ Requests (batch_size is fixed to 1 for the protocol):
   {"op": "render",  "cameras": [[7 floats], ...], "outputs": [path, ...]}
   {"op": "render",  "camera": [7 floats], "output": path}
   {"op": "localize", "image": path}      -> {"camera": [7 floats], ...}
+  {"op": "status"}                       -> context/capacity/capabilities
   {"op": "stop"}
 
 Responses: {"ok": true, "op": ..., "ms": <wall ms>, "context_frames": n}
@@ -49,6 +50,11 @@ def _handle(session, request):
     if op == 'localize':
         camera = session.localize(_load_image(request['image'])[None])
         return {'camera': [round(float(x), 6) for x in camera[0]]}
+    if op == 'status':
+        return {'max_frames': session.max_frames,
+                'image_size': session.image_size,
+                'localize': session.can_localize,
+                'started': session.context_frames > 0}
     if op == 'render':
         from PIL import Image
 
@@ -83,7 +89,8 @@ def serve_loop(transformer_model, codebook_model, max_frames=None,
                              **overrides)
     print(json.dumps({'ok': True, 'op': 'ready',
                       'max_frames': session.max_frames,
-                      'image_size': session.image_size}),
+                      'image_size': session.image_size,
+                      'localize': session.can_localize}),
           file=stdout, flush=True)
 
     for line in stdin:
