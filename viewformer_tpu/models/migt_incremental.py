@@ -24,13 +24,52 @@ import jax.numpy as jnp
 _NEG_INF = -1e9
 
 
+@jax.tree_util.register_pytree_node_class
+class KVCache(dict):
+    """The cache pytree. Subclasses dict (callers index cache['k'] etc.) but
+    additionally carries the frame token grid ``grid=(h, w)`` as STATIC
+    pytree aux data, so it survives jit/scan boundaries as a compile-time
+    constant — `generate_frame` reshapes its logits with it, which an array
+    leaf could not drive. Known statically at prefill/init time; non-square
+    grids (codebooks whose real grid disagrees with token_image_size) are
+    reshaped correctly instead of transposed through an isqrt guess."""
+
+    def __init__(self, k, v, n, grid):
+        super().__init__(k=k, v=v, n=n)
+        self.grid = tuple(int(g) for g in grid)
+
+    def tree_flatten(self):
+        return (self['k'], self['v'], self['n']), self.grid
+
+    @classmethod
+    def tree_unflatten(cls, grid, children):
+        k, v, n = children
+        return cls(k, v, n, grid)
+
+
+def _grid_from_shape(shape):
+    """(h, w) from a frame-token shape suffix; flat [L] suffixes fall back to
+    the square grid (asserted exact)."""
+    import math
+    if len(shape) == 2:
+        return tuple(int(s) for s in shape)
+    L = 1
+    for d in shape:
+        L *= int(d)
+    side = math.isqrt(L)
+    assert side * side == L, \
+        f'flat token length {L} is not square; pass tokens as [.., h, w]'
+    return (side, side)
+
+
 def init_cache(config, batch_size, max_frames, dtype=jnp.float32):
     n_layer, H = config.n_layer, config.n_head
     L = config.token_image_size ** 2
     dh = config.d_model // H
     shape = (n_layer, batch_size, H, max_frames, L, dh)
-    return {'k': jnp.zeros(shape, dtype), 'v': jnp.zeros(shape, dtype),
-            'n': jnp.zeros((), jnp.int32)}
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                   jnp.zeros((), jnp.int32),
+                   (config.token_image_size, config.token_image_size))
 
 
 def _split_heads(x, H):
@@ -212,8 +251,8 @@ def prefill_cache(model, params, tokens, poses, max_frames=None,
         k_cache = jnp.pad(k_cache, pad)
         v_cache = jnp.pad(v_cache, pad)
     n = T if valid_frames is None else valid_frames
-    return {'k': k_cache, 'v': v_cache,
-            'n': jnp.asarray(n, jnp.int32)}
+    return KVCache(k_cache, v_cache, jnp.asarray(n, jnp.int32),
+                   _grid_from_shape(tokens.shape[2:]))
 
 
 def extend_cache(model, params, cache, tokens, pose):
@@ -231,7 +270,8 @@ def extend_cache(model, params, cache, tokens, pose):
                                        cache['k'][layer], cache['v'][layer], n)
         new_k = new_k.at[layer, :, :, n].set(kh.astype(new_k.dtype))
         new_v = new_v.at[layer, :, :, n].set(vh.astype(new_v.dtype))
-    return {'k': new_k, 'v': new_v, 'n': n + 1}
+    grid = getattr(cache, 'grid', None) or _grid_from_shape(tokens.shape[1:])
+    return KVCache(new_k, new_v, n + 1, grid)
 
 
 def localize_frame(model, params, cache, tokens):
@@ -277,8 +317,6 @@ def generate_frame(model, params, cache, query_pose):
     """Generate the query frame against the cached context: query_pose [B, 7]
     -> logits [B, h, w, n_embeddings]. The cache is unchanged (generated
     frames are not context unless explicitly appended after decoding)."""
-    import math
-
     cfg = model.config
     H = cfg.n_head
     L = cache['k'].shape[4]  # frame length from the cache's real grid
@@ -294,6 +332,7 @@ def generate_frame(model, params, cache, query_pose):
     x = _layer_norm(x, ln_f['scale'], ln_f['bias'])
     logits = jnp.einsum('bld,vd->blv', x.astype(jnp.float32),
                         params['wte']['embedding'][:cfg.n_embeddings].astype(jnp.float32))
-    side = math.isqrt(L)  # token grids are square (token_image_size is one int)
-    grid = (side, L // side)
+    # the (h, w) grid rides the cache as static aux (plain-dict caches from
+    # older callers fall back to the square config grid)
+    grid = getattr(cache, 'grid', None) or _grid_from_shape((L,))
     return logits.reshape((x.shape[0],) + grid + (cfg.n_embeddings,))

@@ -15,9 +15,11 @@ Semantics match the one-shot evaluation path exactly (tested): the relative
 camera canonicalization (ref evaluate_transformer.py:70-94) is anchored to
 the FIRST context camera at `start` and the stored transform is applied to
 every subsequently observed/queried camera, which is what one one-shot pass
-over [context..., query] would compute. Only view synthesis is served; the
-localization (pose-regression) stream needs the full bidirectional context
-and stays on the batch evaluators.
+over [context..., query] would compute. Both capabilities are served:
+`render` (view synthesis, generation branch) and `localize` (camera pose
+regression — one localization-branch pass over the cached context via
+models/migt_incremental.localize_frame, equivalence vs the one-shot eval
+path pinned in test_serve/test_migt_incremental).
 """
 import functools
 

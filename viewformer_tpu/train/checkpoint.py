@@ -38,13 +38,26 @@ class CheckpointManager:
     def save(self, step, state, val_loss=None, aux=None):
         """aux: small JSON-serializable side state tied to the rolling last
         checkpoint (e.g. the data-iterator resume cursor) — written
-        atomically next to it, read back via load_aux()."""
+        atomically PER STEP (aux-<step>.json) and resolved against
+        latest_step() on load, so a crash between this write and the async
+        orbax commit can never leave the cursor ahead of the newest
+        checkpoint (load_aux would resolve the previous step's aux)."""
         if aux is not None and jax.process_index() == 0:
             import json
-            tmp = os.path.join(self.job_dir, 'last_aux.json.tmp')
+            name = f'aux-{int(step)}.json'
+            tmp = os.path.join(self.job_dir, name + '.tmp')
             with open(tmp, 'w') as f:
                 json.dump({'step': int(step), **aux}, f)
-            os.replace(tmp, os.path.join(self.job_dir, 'last_aux.json'))
+            os.replace(tmp, os.path.join(self.job_dir, name))
+            # keep the two newest aux files (current + the still-valid
+            # previous one while the async save is in flight)
+            import re
+            steps = sorted(
+                int(m.group(1)) for m in
+                (re.fullmatch(r'aux-(\d+)\.json', f)
+                 for f in os.listdir(self.job_dir)) if m)
+            for s in steps[:-2]:
+                os.unlink(os.path.join(self.job_dir, f'aux-{s}.json'))
         if hasattr(state, '_asdict'):  # NamedTuple train states stored as dicts
             state = state._asdict()
         # Donation-safe async save: snapshot on DEVICE (cheap copy dispatch),
@@ -69,13 +82,27 @@ class CheckpointManager:
         return self._last.latest_step()
 
     def load_aux(self):
-        """The aux dict from the newest save that carried one, or None."""
+        """The aux dict consistent with the newest COMMITTED checkpoint:
+        resolves aux-<latest_step()>.json first (see save), then falls back
+        to the newest aux file present, then the legacy last_aux.json."""
         import json
-        path = os.path.join(self.job_dir, 'last_aux.json')
-        if not os.path.exists(path):
-            return None
-        with open(path) as f:
-            return json.load(f)
+        import re
+        step = self.latest_step()
+        candidates = []
+        if step is not None:
+            candidates.append(os.path.join(self.job_dir, f'aux-{step}.json'))
+        steps = sorted(
+            int(m.group(1)) for m in
+            (re.fullmatch(r'aux-(\d+)\.json', f)
+             for f in os.listdir(self.job_dir)) if m)
+        candidates += [os.path.join(self.job_dir, f'aux-{s}.json')
+                       for s in reversed(steps)]
+        candidates.append(os.path.join(self.job_dir, 'last_aux.json'))
+        for path in candidates:
+            if os.path.exists(path):
+                with open(path) as f:
+                    return json.load(f)
+        return None
 
     @staticmethod
     def _restore_args(abstract_state):
