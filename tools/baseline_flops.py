@@ -70,12 +70,44 @@ def main():
     dec = flops_of(decode_fn, cvars, gen)
     total = enc + tr + dec
 
+    # the path bench.py actually executes: prefill (stream-0 tower over the
+    # 20-frame padded context, dense-attention count — the fused Pallas
+    # kernel does the same logical FLOPs) + one 64-token query branch
+    from viewformer_tpu.models.migt_incremental import (generate_frame,
+                                                        prefill_cache)
+
+    def bench_generate_fn(tvars, cameras, codes):
+        padded = jnp.concatenate([codes, jnp.zeros_like(codes[:, :1])], 1)
+        cache = prefill_cache(transformer, tvars['params'], padded, cameras,
+                              valid_frames=S - 1, use_fused=False)
+        return jnp.argmax(
+            generate_frame(transformer, tvars['params'], cache,
+                           cameras[:, -1]), -1)
+
+    def serve_step_fn(tvars, cvars, cache, pose):
+        codes = jnp.argmax(
+            generate_frame(transformer, tvars['params'], cache, pose), -1)
+        return codebook.apply(cvars, codes, method=type(codebook).decode_code)
+
+    inc_gen = flops_of(bench_generate_fn, tvars, cameras, codes)
+    cache = jax.eval_shape(
+        lambda tv: prefill_cache(transformer, tv['params'],
+                                 jnp.zeros((B, S, 8, 8), jnp.int32),
+                                 jnp.zeros((B, S, 7), jnp.float32),
+                                 use_fused=False), tvars)
+    cache_z = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), cache)
+    serve_step = flops_of(serve_step_fn, tvars, cvars, cache_z,
+                          jnp.zeros((B, 7), jnp.float32))
+
     report = {
         'encode_19_frames_gflops': round(enc / 1e9, 2),
         'transformer_pass_gflops': round(tr / 1e9, 2),
         'decode_1_frame_gflops': round(dec / 1e9, 2),
         'total_gflops_per_novel_view': round(total / 1e9, 2),
         'encode_gflops_per_image': round(enc / (S - 1) / 1e9, 2),
+        'incremental_generate_gflops': round(inc_gen / 1e9, 2),
+        'bench_pipeline_gflops_per_frame': round((enc + inc_gen + dec) / 1e9, 2),
+        'serve_step_gflops_per_frame': round(serve_step / 1e9, 2),
     }
     # implied reference throughput on one A100 at a range of realized MFUs
     # (A100 SXM fp16/bf16 dense peak: 312 TFLOP/s, NVIDIA A100 datasheet)
@@ -83,6 +115,23 @@ def main():
         report[f'implied_a100_fps_at_{int(mfu * 100)}pct_mfu'] = round(
             312e12 * mfu / total, 1)
     print(json.dumps(report, indent=2))
+
+    # machine-readable FLOP constants for bench.py's MFU fields
+    import os
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       'bench_flops.json')
+    with open(out, 'w') as f:
+        json.dump({
+            'bench_pipeline_gflops_per_frame': report[
+                'bench_pipeline_gflops_per_frame'],
+            'oneshot_pipeline_gflops_per_frame': report[
+                'total_gflops_per_novel_view'],
+            'serve_step_gflops_per_frame': report[
+                'serve_step_gflops_per_frame'],
+            'note': 'XLA cost analysis at reference configs; regenerate with '
+                    'tools/baseline_flops.py when model configs change',
+        }, f, indent=1)
+    print('wrote', out)
 
 
 if __name__ == '__main__':

@@ -31,6 +31,13 @@ Exits 0 if compilation succeeds, 1 on compiler failure (prints the error
 head). Re-run after backend upgrades to detect when remat stops being
 necessary; `--depth/--width/--batch` bisect the threshold. The dense-stack
 mode (no --migt) is kept as the negative control.
+
+Watchdog mode (the one-command re-check after backend upgrades):
+  python tools/repro_rng_backward_crash.py --watchdog
+runs the canonical probe (--migt --batch 40, no remat) in a bounded
+subprocess and appends ONE line to tools/backend_crash_history.jsonl with
+the backend version and the outcome (ok / compile_failed / timeout). The
+day it records "ok", drop the remat default and reclaim the recompute tax.
 """
 import argparse
 import sys
@@ -107,6 +114,54 @@ def migt_repro(args):
     sys.exit(0)
 
 
+def watchdog(probe_timeout):
+    """Run the canonical crashing probe bounded, append one history line."""
+    import datetime
+    import json
+    import os
+    import subprocess
+    import time
+
+    import jax
+    import jaxlib
+
+    dev = jax.devices()[0]
+    info = {
+        'date': datetime.date.today().isoformat(),
+        'jax': jax.__version__,
+        'jaxlib': jaxlib.__version__,
+        'backend': jax.default_backend(),
+        'device': getattr(dev, 'device_kind', str(dev)),
+        'platform_version': getattr(dev.client, 'platform_version', ''),
+        'probe': 'migt 12L/768d B=40 S=20 no-remat rng-dropout compile',
+    }
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), '--migt', '--batch', '40'],
+            capture_output=True, text=True, timeout=probe_timeout)
+        if proc.returncode == 0:
+            info['result'] = 'ok'
+        else:
+            info['result'] = 'compile_failed'
+            tail = (proc.stdout + proc.stderr).strip().splitlines()
+            info['error_head'] = tail[-1][:200] if tail else ''
+    except subprocess.TimeoutExpired:
+        info['result'] = f'timeout>{probe_timeout}s'
+    info['seconds'] = round(time.time() - t0, 1)
+    history = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           'backend_crash_history.jsonl')
+    with open(history, 'a') as f:
+        f.write(json.dumps(info) + '\n')
+    print(json.dumps(info))
+    if info['result'] == 'ok':
+        print('BACKEND FIXED: the un-rematerialized full-size graph now '
+              'compiles — consider dropping remat=True as the trainer default '
+              '(halves the recompute tax).')
+    else:
+        print('Backend still requires remat at full size (expected).')
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--depth', type=int, default=24)
@@ -119,7 +174,15 @@ def main():
                     help='use the real MIGT train step instead of the dense stack')
     ap.add_argument('--no-dropout', action='store_true',
                     help='(with --migt) dropout=0: isolates graph size from RNG')
+    ap.add_argument('--watchdog', action='store_true',
+                    help='bounded probe + one JSONL history line '
+                         '(tools/backend_crash_history.jsonl)')
+    ap.add_argument('--probe-timeout', type=int, default=600)
     args = ap.parse_args()
+
+    if args.watchdog:
+        watchdog(args.probe_timeout)
+        return
 
     import jax
     import jax.numpy as jnp

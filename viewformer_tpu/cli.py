@@ -607,11 +607,17 @@ def serve_cmd(transformer_model, codebook_model, max_frames, pose_multiplier, fp
 
 @main.command('download-model')
 @click.argument('checkpoint')
-def download_model_cmd(checkpoint):
-    """Download a released checkpoint to ~/.cache/viewformer."""
+@click.option('--from-file', default=None, type=click.Path(exists=True),
+              help='install from a local <checkpoint>.tar.gz or extracted '
+                   'directory instead of the network (air-gapped hosts; see '
+                   'PARITY_RUNBOOK.md)')
+@click.option('--override', is_flag=True, help='replace a cached copy')
+def download_model_cmd(checkpoint, from_file, override):
+    """Install a released checkpoint into ~/.cache/viewformer."""
     from .utils import pull_checkpoint
-    path = pull_checkpoint(checkpoint)
-    print(f'Downloaded to {path}')
+    path = pull_checkpoint(checkpoint, override=override,
+                           local_source=from_file)
+    print(f'Installed at {path}')
 
 
 if __name__ == '__main__':

@@ -61,18 +61,13 @@ def migt_param_shardings(params, mesh):
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
-def shard_transformer_state(state, mesh, optimizer=None):
-    """Place a TransformerTrainState onto the mesh with tensor-parallel
-    param layouts. Params go by `migt_param_shardings`; the EXISTING
-    optimizer state is re-placed leaf-by-leaf (Adam moments mirror the param
-    tree, so each moment leaf whose path suffix + shape matches a param
-    inherits that param's layout; everything else — counts, scalars —
-    replicates). Resuming a checkpoint through this keeps the moments; the
-    `optimizer` argument is unused and kept for call compatibility."""
+def transformer_state_shardings(state, mesh):
+    """NamedSharding pytree matching a TransformerTrainState (state leaves
+    may be arrays OR ShapeDtypeStructs — only .shape is read). Params go by
+    `migt_param_shardings`; optimizer-state leaves inherit the layout of the
+    param whose path suffix + shape they match (Adam moments mirror the
+    param tree); everything else — counts, scalars, step — replicates."""
     shardings = migt_param_shardings(state.params, mesh)
-    params = jax.tree.map(jax.device_put, state.params, shardings)
-    step = jax.device_put(state.step, NamedSharding(mesh, P()))
-
     param_paths = jax.tree_util.tree_flatten_with_path(state.params)[0]
     shard_leaves = jax.tree.leaves(
         shardings, is_leaf=lambda x: isinstance(x, NamedSharding))
@@ -80,13 +75,24 @@ def shard_transformer_state(state, mesh, optimizer=None):
                for (path, leaf), s in zip(param_paths, shard_leaves)}
     replicated = NamedSharding(mesh, P())
 
-    def place_opt_leaf(path, leaf):
+    def opt_leaf_sharding(path, leaf):
         keys = tuple(str(k) for k in path)
         for i in range(len(keys)):
             hit = by_path.get(keys[i:])
             if hit is not None and getattr(leaf, 'shape', None) == hit[0]:
-                return jax.device_put(leaf, hit[1])
-        return jax.device_put(leaf, replicated)
+                return hit[1]
+        return replicated
 
-    opt_state = jax.tree_util.tree_map_with_path(place_opt_leaf, state.opt_state)
-    return type(state)(params, opt_state, step)
+    opt_shardings = jax.tree_util.tree_map_with_path(opt_leaf_sharding,
+                                                     state.opt_state)
+    return type(state)(shardings, opt_shardings, replicated)
+
+
+def shard_transformer_state(state, mesh, optimizer=None):
+    """Place a TransformerTrainState onto the mesh with tensor-parallel
+    param layouts (see `transformer_state_shardings`). The EXISTING
+    optimizer state is re-placed — resuming a checkpoint through this keeps
+    the Adam moments; the `optimizer` argument is unused and kept for call
+    compatibility."""
+    shardings = transformer_state_shardings(state, mesh)
+    return jax.tree.map(jax.device_put, state, shardings)

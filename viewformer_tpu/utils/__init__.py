@@ -143,19 +143,35 @@ def unique(iterable):
 _CHECKPOINT_URL = 'https://data.ciirc.cvut.cz/public/projects/2022ViewFormer/checkpoints'
 
 
-def pull_checkpoint(checkpoint, override=False):
-    """Download + extract a released checkpoint to ~/.cache/viewformer
-    (ref utils/_common.py:149-180)."""
-    import requests
-    from tqdm import tqdm
+def pull_checkpoint(checkpoint, override=False, local_source=None):
+    """Install a released checkpoint into ~/.cache/viewformer
+    (ref utils/_common.py:149-180).
 
-    path = f'{_CHECKPOINT_URL}/{checkpoint}.tar.gz'
+    local_source: a path to an already-obtained `<checkpoint>.tar.gz` (or a
+    directory containing the extracted checkpoint) to install from instead
+    of the network — the air-gapped path of PARITY_RUNBOOK.md (checkpoints
+    carried onto the host by any side channel feed the same cache layout the
+    loaders resolve)."""
     local_path = os.path.expanduser(f'~/.cache/viewformer/{checkpoint}')
     if os.path.exists(local_path):
         if override:
             shutil.rmtree(local_path)
         else:
             return local_path
+
+    if local_source is not None:
+        if os.path.isdir(local_source):
+            shutil.copytree(local_source, local_path)
+            return local_path
+        os.makedirs(local_path, exist_ok=True)
+        with tarfile.open(local_source, mode='r:*') as tfile:
+            tfile.extractall(local_path)
+        return local_path
+
+    import requests
+    from tqdm import tqdm
+
+    path = f'{_CHECKPOINT_URL}/{checkpoint}.tar.gz'
     os.makedirs(local_path, exist_ok=True)
 
     response = requests.get(path, stream=True)
