@@ -146,7 +146,7 @@ def _poll_run(proc, metrics_path, kill_at=None, timeout=3600):
                         rec = json.loads(line)
                     except ValueError:
                         continue
-                    if rec.get('prefix', 'train') == 'train' and 'loss' in rec:
+                    if _train_loss(rec) is not None:
                         timeline.setdefault(int(rec['step']), time.time())
         if kill_at is not None and not killed and any(
                 s >= kill_at for s in timeline):
@@ -161,6 +161,15 @@ def _poll_run(proc, metrics_path, kill_at=None, timeout=3600):
     return timeline, killed
 
 
+def _train_loss(rec):
+    """Training-loss value of a metrics.jsonl record (keys are
+    'train/<metric>'), or None for val/other records."""
+    for key in ('train/loss', 'train/total_loss'):
+        if key in rec:
+            return float(rec[key])
+    return None
+
+
 def _read_losses(job_dir):
     """{step: loss} for train records in a job's metrics.jsonl."""
     losses = {}
@@ -170,8 +179,9 @@ def _read_losses(job_dir):
                 rec = json.loads(line)
             except ValueError:
                 continue
-            if rec.get('prefix', 'train') == 'train' and 'loss' in rec:
-                losses[int(rec['step'])] = float(rec['loss'])
+            loss = _train_loss(rec)
+            if loss is not None:
+                losses[int(rec['step'])] = loss
     return losses
 
 
