@@ -185,3 +185,32 @@ def test_incremental_jits(setup):
     logits = generate(params, cache, poses[:, -1])
     assert logits.shape == (B, 2, 2, 16)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_non_square_grid_cache(setup):
+    """The cache carries its (h, w) grid as static aux (ADVICE r2 #2): a
+    non-square token grid must reshape generate_frame logits correctly (the
+    old isqrt guess transposed 2x4 grids), survive jit/extend, and the
+    localization path must accept the same grid."""
+    model, params, poses, _ = setup
+    rng = np.random.RandomState(3)
+    tokens = jnp.asarray(rng.randint(0, 16, (2, 4, 2, 4)))  # 2x4 grid, L=8
+
+    cache = inc.prefill_cache(model, params, tokens[:, :3], poses[:, :3])
+    assert cache.grid == (2, 4)
+    logits = inc.generate_frame(model, params, cache, poses[:, -1])
+    assert logits.shape == (2, 2, 4, 16)
+
+    # one-shot oracle on the same non-square grid
+    masked = jnp.concatenate([tokens[:, :3],
+                              jnp.full_like(tokens[:, :1], model.mask_token)], 1)
+    one_shot = model.apply({'params': params}, poses, masked,
+                           compute_losses=False)
+    expected = np.asarray(one_shot['logits'])[:, -1].reshape(2, 2, 4, 16)
+    np.testing.assert_allclose(np.asarray(logits), expected, atol=2e-4)
+
+    # grid survives a jitted extend (static aux through tracing)
+    extend = jax.jit(lambda p, c, t, po: inc.extend_cache(model, p, c, t, po))
+    cache2 = extend(params, cache, tokens[:, 3], poses[:, 3])
+    assert cache2.grid == (2, 4)
+    assert int(cache2['n']) == 4

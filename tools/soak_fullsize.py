@@ -127,13 +127,27 @@ print('CODEBOOK DONE step', int(state.step), flush=True)
 '''
 
 
+def _committed_steps(job_dir):
+    last_dir = os.path.join(job_dir, 'last')
+    if not os.path.isdir(last_dir):
+        return []
+    return sorted(int(d) for d in os.listdir(last_dir) if d.isdigit())
+
+
 def _poll_run(proc, metrics_path, kill_at=None, timeout=3600):
     """Wait on a training subprocess while timestamping each new train-log
-    step from metrics.jsonl. Returns (timeline {step: wallclock}, killed)."""
+    step from metrics.jsonl. Returns (timeline {step: wallclock}, killed).
+
+    The kill only fires once BOTH the log shows >= kill_at steps AND at
+    least one checkpoint has committed — with truly-async saves the D2H
+    fetch lags training by up to ~1 epoch on slow-transfer hosts, and a
+    kill before any commit would (safely, but uselessly for this test)
+    restart from scratch."""
     timeline = {}
     killed = False
     t_start = time.time()
     pos = 0
+    job_dir = os.path.dirname(metrics_path)
     while True:
         if os.path.exists(metrics_path):
             with open(metrics_path) as f:
@@ -149,7 +163,7 @@ def _poll_run(proc, metrics_path, kill_at=None, timeout=3600):
                     if _train_loss(rec) is not None:
                         timeline.setdefault(int(rec['step']), time.time())
         if kill_at is not None and not killed and any(
-                s >= kill_at for s in timeline):
+                s >= kill_at for s in timeline) and _committed_steps(job_dir):
             proc.send_signal(signal.SIGKILL)
             killed = True
         if proc.poll() is not None:
@@ -185,6 +199,24 @@ def _read_losses(job_dir):
     return losses
 
 
+def _sustained_from_log(job_dir):
+    """steps/s from the logger's own 'time' stamps (for reused phases)."""
+    stamps = {}
+    with open(os.path.join(job_dir, 'metrics.jsonl')) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if _train_loss(rec) is not None:
+                stamps.setdefault(int(rec['step']), float(rec['time']))
+    steps = sorted(stamps)
+    if len(steps) < 2:
+        return 0.0
+    return (steps[-1] - steps[0]) / max(stamps[steps[-1]] - stamps[steps[0]],
+                                        1e-9)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--workdir', default='/tmp/soak_r03')
@@ -192,6 +224,9 @@ def main():
     ap.add_argument('--codebook-steps', type=int, default=120)
     ap.add_argument('--quick', action='store_true',
                     help='tiny models on CPU: harness smoke test')
+    ap.add_argument('--reuse', action='store_true',
+                    help='skip codebook/golden phases whose completed '
+                         'metrics already exist in the workdir')
     ap.add_argument('--out', default=os.path.join(REPO, 'SOAK_r03.json'))
     args = ap.parse_args()
 
@@ -231,29 +266,45 @@ def main():
             env=env, text=True, capture_output=True, timeout=1800)
         assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-4000:]
 
+    def _phase_done(job, want_steps):
+        try:
+            return max(_read_losses(job)) >= want_steps
+        except (OSError, ValueError):
+            return False
+
     # --- B. codebook soak ---
     print('== codebook soak ==', flush=True)
     cb_job = os.path.join(args.workdir, 'job_codebook')
     script = _CODEBOOK_WORKER.format(repo=REPO, **cb_params)
-    t0 = time.time()
-    proc = subprocess.Popen([sys.executable, '-c', script,
-                             os.path.join(args.workdir, 'img'), cb_job],
-                            env=env, stdout=subprocess.DEVNULL,
-                            stderr=subprocess.STDOUT)
-    timeline, _ = _poll_run(proc, os.path.join(cb_job, 'metrics.jsonl'))
-    assert proc.returncode == 0, f'codebook soak failed rc={proc.returncode}'
-    cb_losses = _read_losses(cb_job)
-    steps_sorted = sorted(timeline)
-    sustained = (steps_sorted[-1] - steps_sorted[0]) / max(
-        timeline[steps_sorted[-1]] - timeline[steps_sorted[0]], 1e-9) \
-        if len(steps_sorted) > 1 else 0.0
-    report['codebook'] = {
-        'wall_s': round(time.time() - t0, 1),
-        'sustained_steps_per_s': round(sustained, 3),
-        'loss_first': cb_losses[min(cb_losses)],
-        'loss_last': cb_losses[max(cb_losses)],
-        'steps': max(cb_losses),
-    }
+    if args.reuse and _phase_done(cb_job, cb_params['steps']):
+        print('   (reusing completed codebook phase)', flush=True)
+        cb_losses = _read_losses(cb_job)
+        report['codebook'] = {'reused': True,
+                              'sustained_steps_per_s': round(
+                                  _sustained_from_log(cb_job), 3),
+                              'loss_first': cb_losses[min(cb_losses)],
+                              'loss_last': cb_losses[max(cb_losses)],
+                              'steps': max(cb_losses)}
+    else:
+        t0 = time.time()
+        proc = subprocess.Popen([sys.executable, '-c', script,
+                                 os.path.join(args.workdir, 'img'), cb_job],
+                                env=env, stdout=subprocess.DEVNULL,
+                                stderr=subprocess.STDOUT)
+        timeline, _ = _poll_run(proc, os.path.join(cb_job, 'metrics.jsonl'))
+        assert proc.returncode == 0, f'codebook soak failed rc={proc.returncode}'
+        cb_losses = _read_losses(cb_job)
+        steps_sorted = sorted(timeline)
+        sustained = (steps_sorted[-1] - steps_sorted[0]) / max(
+            timeline[steps_sorted[-1]] - timeline[steps_sorted[0]], 1e-9) \
+            if len(steps_sorted) > 1 else 0.0
+        report['codebook'] = {
+            'wall_s': round(time.time() - t0, 1),
+            'sustained_steps_per_s': round(sustained, 3),
+            'loss_first': cb_losses[min(cb_losses)],
+            'loss_last': cb_losses[max(cb_losses)],
+            'steps': max(cb_losses),
+        }
     print(json.dumps(report['codebook']), flush=True)
 
     # --- C. transformer golden run ---
@@ -261,25 +312,37 @@ def main():
     gold_job = os.path.join(args.workdir, 'job_gold')
     script = _TRANSFORMER_WORKER.format(repo=REPO, **tf_params)
     data = os.path.join(args.workdir, 'codes')
-    t0 = time.time()
-    proc = subprocess.Popen([sys.executable, '-c', script, data, gold_job],
-                            env=env, stdout=subprocess.DEVNULL,
-                            stderr=subprocess.STDOUT)
-    timeline, _ = _poll_run(proc, os.path.join(gold_job, 'metrics.jsonl'))
-    assert proc.returncode == 0, f'golden run failed rc={proc.returncode}'
-    gold = _read_losses(gold_job)
-    steps_sorted = sorted(timeline)
-    sustained = (steps_sorted[-1] - steps_sorted[0]) / max(
-        timeline[steps_sorted[-1]] - timeline[steps_sorted[0]], 1e-9) \
-        if len(steps_sorted) > 1 else 0.0
-    report['transformer'] = {
-        'wall_s': round(time.time() - t0, 1),
-        'sustained_steps_per_s': round(sustained, 3),
-        'sustained_seq_per_s': round(sustained * tf_params['batch'], 2),
-        'loss_first': gold[min(gold)],
-        'loss_last': gold[max(gold)],
-        'steps': max(gold),
-    }
+    if args.reuse and _phase_done(gold_job, tf_params['steps']):
+        print('   (reusing completed golden phase)', flush=True)
+        gold = _read_losses(gold_job)
+        sus = _sustained_from_log(gold_job)
+        report['transformer'] = {'reused': True,
+                                 'sustained_steps_per_s': round(sus, 3),
+                                 'sustained_seq_per_s': round(
+                                     sus * tf_params['batch'], 2),
+                                 'loss_first': gold[min(gold)],
+                                 'loss_last': gold[max(gold)],
+                                 'steps': max(gold)}
+    else:
+        t0 = time.time()
+        proc = subprocess.Popen([sys.executable, '-c', script, data, gold_job],
+                                env=env, stdout=subprocess.DEVNULL,
+                                stderr=subprocess.STDOUT)
+        timeline, _ = _poll_run(proc, os.path.join(gold_job, 'metrics.jsonl'))
+        assert proc.returncode == 0, f'golden run failed rc={proc.returncode}'
+        gold = _read_losses(gold_job)
+        steps_sorted = sorted(timeline)
+        sustained = (steps_sorted[-1] - steps_sorted[0]) / max(
+            timeline[steps_sorted[-1]] - timeline[steps_sorted[0]], 1e-9) \
+            if len(steps_sorted) > 1 else 0.0
+        report['transformer'] = {
+            'wall_s': round(time.time() - t0, 1),
+            'sustained_steps_per_s': round(sustained, 3),
+            'sustained_seq_per_s': round(sustained * tf_params['batch'], 2),
+            'loss_first': gold[min(gold)],
+            'loss_last': gold[max(gold)],
+            'steps': max(gold),
+        }
     print(json.dumps(report['transformer']), flush=True)
     assert gold[max(gold)] < gold[min(gold)], 'loss did not decrease'
 

@@ -34,6 +34,20 @@ class CheckpointManager:
                 max_to_keep=1,
                 best_fn=lambda metrics: metrics['val_loss'],
                 best_mode='min'))
+        # Single background worker for the device->host fetch: orbax's
+        # "async" save still performs the D2H transfer SYNCHRONOUSLY in
+        # save() and only backgrounds the file I/O. On hosts where D2H is
+        # slow (measured: ~50s per full-size transformer save through the
+        # axon tunnel at ~18MB/s — the soak's epoch-boundary stall), that
+        # would block the train loop; fetching a device-side snapshot from
+        # this thread overlaps the transfer with training (the same
+        # fetch-compute overlap bench.py uses). One worker => saves stay
+        # ordered.
+        import concurrent.futures
+        self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix='ckpt-fetch')
+        self._pending = []
+        self._fetch_errors = []
 
     def save(self, step, state, val_loss=None, aux=None):
         """aux: small JSON-serializable side state tied to the rolling last
@@ -60,21 +74,48 @@ class CheckpointManager:
                 os.unlink(os.path.join(self.job_dir, f'aux-{s}.json'))
         if hasattr(state, '_asdict'):  # NamedTuple train states stored as dicts
             state = state._asdict()
-        # Donation-safe async save: snapshot on DEVICE (cheap copy dispatch),
-        # then orbax streams device->host in its background thread while the
-        # train loop keeps stepping (the trainers donate state buffers into
-        # the next step, so handing orbax the live arrays would read
-        # invalidated memory; an eager device_get here would instead block
-        # training on the full D2H transfer).
-        state = jax.tree.map(
+        # Donation-safe truly-async save: snapshot on DEVICE (cheap copy
+        # dispatch — the trainers donate state buffers into the next step,
+        # so handing anything the live arrays would read invalidated
+        # memory), then a background thread performs the D2H fetch and the
+        # orbax save while the train loop keeps stepping. orbax's own async
+        # path is NOT enough: its save() call still fetches synchronously
+        # and only backgrounds the file writes.
+        snapshot = jax.tree.map(
             lambda a: jnp.copy(a) if isinstance(a, jax.Array) else np.asarray(a),
             state)
-        self._last.save(step, args=ocp.args.StandardSave(state))
+        self._pending.append(self._fetch_pool.submit(
+            self._fetch_and_save, int(step), snapshot,
+            None if val_loss is None else float(val_loss)))
+        # surface any failure from earlier background saves; drop completed
+        still_pending = []
+        for f in self._pending:
+            if f.done():
+                exc = f.exception()
+                if exc is not None:
+                    self._pending = still_pending
+                    raise exc
+            else:
+                still_pending.append(f)
+        self._pending = still_pending
+
+    def _fetch_and_save(self, step, snapshot, val_loss):
+        host = jax.tree.map(
+            lambda a: np.asarray(a) if isinstance(a, jax.Array) else a,
+            snapshot)
+        del snapshot  # free the device-side copy as soon as it's fetched
+        self._last.save(step, args=ocp.args.StandardSave(host))
         if val_loss is not None:
-            self._best.save(step, args=ocp.args.StandardSave(state),
-                            metrics={'val_loss': float(val_loss)})
+            self._best.save(step, args=ocp.args.StandardSave(host),
+                            metrics={'val_loss': val_loss})
 
     def wait(self):
+        for f in list(self._pending):
+            exc = f.exception()  # joins
+            if exc is not None:
+                self._pending.remove(f)
+                raise exc
+        self._pending = []
         self._last.wait_until_finished()
         self._best.wait_until_finished()
 
@@ -141,6 +182,7 @@ class CheckpointManager:
 
     def close(self):
         self.wait()
+        self._fetch_pool.shutdown(wait=True)
         self._last.close()
         self._best.close()
 
