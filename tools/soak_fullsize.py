@@ -349,9 +349,10 @@ def main():
     # --- D. kill / resume run ---
     print(f'== kill@>={kill_at} / resume run ==', flush=True)
     kr_job = os.path.join(args.workdir, 'job_killresume')
+    os.makedirs(kr_job, exist_ok=True)
+    kr_log = open(os.path.join(kr_job, 'worker.log'), 'a')
     proc = subprocess.Popen([sys.executable, '-c', script, data, kr_job],
-                            env=env, stdout=subprocess.DEVNULL,
-                            stderr=subprocess.STDOUT)
+                            env=env, stdout=kr_log, stderr=subprocess.STDOUT)
     _, killed = _poll_run(proc, os.path.join(kr_job, 'metrics.jsonl'),
                           kill_at=kill_at)
     assert killed, 'run finished before the kill point'
@@ -375,10 +376,13 @@ def main():
     print(json.dumps(report['kill']), flush=True)
 
     proc = subprocess.Popen([sys.executable, '-c', script, data, kr_job],
-                            env=env, stdout=subprocess.DEVNULL,
-                            stderr=subprocess.STDOUT)
+                            env=env, stdout=kr_log, stderr=subprocess.STDOUT)
     _poll_run(proc, os.path.join(kr_job, 'metrics.jsonl'))
-    assert proc.returncode == 0, f'resume run failed rc={proc.returncode}'
+    kr_log.close()
+    assert proc.returncode == 0, (
+        'resume run failed rc=%s:\n%s' % (
+            proc.returncode,
+            open(os.path.join(kr_job, 'worker.log')).read()[-3000:]))
 
     # --- E. trajectory must continue the golden curve ---
     resumed = _read_losses(kr_job)

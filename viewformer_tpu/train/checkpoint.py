@@ -47,7 +47,7 @@ class CheckpointManager:
         self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix='ckpt-fetch')
         self._pending = []
-        self._fetch_errors = []
+        self.saves_coalesced = 0
 
     def save(self, step, state, val_loss=None, aux=None):
         """aux: small JSON-serializable side state tied to the rolling last
@@ -63,15 +63,21 @@ class CheckpointManager:
             with open(tmp, 'w') as f:
                 json.dump({'step': int(step), **aux}, f)
             os.replace(tmp, os.path.join(self.job_dir, name))
-            # keep the two newest aux files (current + the still-valid
-            # previous one while the async save is in flight)
+            # GC aux files strictly BELOW the newest COMMITTED checkpoint
+            # step (never the newest aux). With background fetches the
+            # commit can lag many saves behind, and the committed
+            # checkpoint's aux must survive until a newer commit supersedes
+            # it — deleting by recency alone orphaned the resume cursor
+            # (observed: exact-resume degraded to epoch-start resume).
             import re
+            committed = self._last.latest_step()
             steps = sorted(
                 int(m.group(1)) for m in
                 (re.fullmatch(r'aux-(\d+)\.json', f)
                  for f in os.listdir(self.job_dir)) if m)
-            for s in steps[:-2]:
-                os.unlink(os.path.join(self.job_dir, f'aux-{s}.json'))
+            for s in steps[:-1]:
+                if committed is not None and s < committed:
+                    os.unlink(os.path.join(self.job_dir, f'aux-{s}.json'))
         if hasattr(state, '_asdict'):  # NamedTuple train states stored as dicts
             state = state._asdict()
         # Donation-safe truly-async save: snapshot on DEVICE (cheap copy
@@ -84,6 +90,17 @@ class CheckpointManager:
         snapshot = jax.tree.map(
             lambda a: jnp.copy(a) if isinstance(a, jax.Array) else np.asarray(a),
             state)
+        # Coalesce: cancel queued-but-unstarted saves (the rolling `last`
+        # checkpoint only needs the newest; on hosts where the background
+        # fetch is slower than the save cadence, queuing every save would
+        # hold one full device-side snapshot EACH — ~1GB of HBM per pending
+        # full-size save — and stretch the commit lag unboundedly). The
+        # running fetch is never cancelled, so at most two snapshots are
+        # alive. Skipped epochs simply don't become checkpoints.
+        for f in self._pending:
+            if f.cancel():
+                self.saves_coalesced += 1
+        self._pending = [f for f in self._pending if not f.cancelled()]
         self._pending.append(self._fetch_pool.submit(
             self._fetch_and_save, int(step), snapshot,
             None if val_loss is None else float(val_loss)))
