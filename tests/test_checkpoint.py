@@ -60,3 +60,53 @@ def test_aux_state_roundtrip(tmp_path):
     mgr.close()
     aux = CheckpointManager(str(tmp_path / 'job')).load_aux()
     assert aux == {'step': 5, 'data_iterator': {'epoch': 1, 'batch': 7}}
+
+
+def test_aux_cursor_survives_commit_lag(tmp_path, monkeypatch):
+    """With background-fetch saves the commit can lag many saves behind the
+    train loop (slow-D2H hosts). The aux cursor of the newest COMMITTED
+    checkpoint must survive GC until a newer commit supersedes it, and
+    queued-but-unstarted saves coalesce (regression: recency-based aux GC
+    orphaned the resume cursor and exact resume silently degraded to
+    epoch-start resume)."""
+    import os
+    import threading
+
+    from viewformer_tpu.train import checkpoint as ckpt_mod
+
+    gate = threading.Event()
+    orig = ckpt_mod.CheckpointManager._fetch_and_save
+
+    def slow_fetch(self, step, snapshot, val_loss):
+        gate.wait(timeout=60)
+        return orig(self, step, snapshot, val_loss)
+
+    monkeypatch.setattr(ckpt_mod.CheckpointManager, '_fetch_and_save',
+                        slow_fetch)
+    job = str(tmp_path / 'job')
+    mgr = CheckpointManager(job)
+    state = {'w': jnp.arange(4.0)}
+    for s in (10, 20, 30):
+        mgr.save(s, state, aux={'data_iterator': {'epoch': 0, 'batch': s}})
+    # nothing committed yet -> every aux file must survive (any of them may
+    # belong to the checkpoint that eventually commits)
+    aux_files = {f for f in os.listdir(job) if f.startswith('aux-')}
+    assert aux_files == {'aux-10.json', 'aux-20.json', 'aux-30.json'}
+    # the save of 20 was queued behind the in-flight 10 and must have been
+    # coalesced away by the save of 30
+    assert mgr.saves_coalesced == 1
+
+    gate.set()
+    mgr.wait()
+    committed = sorted(int(d) for d in os.listdir(os.path.join(job, 'last'))
+                       if d.isdigit())
+    assert committed == [30]  # max_to_keep=1; 10 committed first, then 30
+    aux = mgr.load_aux()
+    assert aux == {'step': 30, 'data_iterator': {'epoch': 0, 'batch': 30}}
+    # a later save GCs the now-stale cursors below the committed step
+    mgr.save(40, state, aux={'data_iterator': {'epoch': 1, 'batch': 40}})
+    mgr.wait()
+    aux_files = {f for f in os.listdir(job) if f.startswith('aux-')}
+    assert 'aux-10.json' not in aux_files and 'aux-20.json' not in aux_files
+    mgr.close()
+    assert CheckpointManager(job).load_aux()['step'] == 40
