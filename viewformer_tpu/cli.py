@@ -236,12 +236,15 @@ def train_codebook_cmd(dataset_path, job_dir, total_steps, epochs, batch_size,
 @click.option('--max-samples-per-environment', type=int, default=-1)
 @click.option('--steps-per-call', type=int, default=1,
               help='scan k train steps inside one jitted call')
+@click.option('--seq-parallelism', type=int, default=1,
+              help='context parallelism: shard the residual streams\' frame '
+                   'axis over this many devices (mesh gains a seq axis)')
 @click.option('--fp32', is_flag=True)
 @click.option('--wandb', is_flag=True)
 @click.option('--resume/--no-resume', default=True)
 def train_transformer_cmd(dataset_path, codebook_model, job_dir, total_steps, epochs,
                           batch_size, max_samples_per_environment, steps_per_call,
-                          fp32, wandb, resume, **config_options):
+                          seq_parallelism, fp32, wandb, resume, **config_options):
     """Train the MIGT transformer (stage 2)."""
     from .config import MIGTConfig, load_config
     from .train.transformer import train_transformer
@@ -256,7 +259,8 @@ def train_transformer_cmd(dataset_path, codebook_model, job_dir, total_steps, ep
                       total_steps=config.total_steps, epochs=epochs,
                       batch_size=config.batch_size, resume=resume,
                       use_bf16=not fp32, wandb=wandb, steps_per_call=steps_per_call,
-                      max_samples_per_environment=max_samples_per_environment)
+                      max_samples_per_environment=max_samples_per_environment,
+                      seq_parallelism=seq_parallelism)
 
 
 @train.command('finetune-transformer')

@@ -202,11 +202,50 @@ def cross_entropy_with_label_smoothing(labels, logits, label_smoothing=0.0):
     return -jnp.sum(target * log_probs, axis=-1)
 
 
+def _mesh_in_context():
+    """True when a device mesh is in scope for spec-only sharding
+    constraints — either the modern abstract mesh (jax.set_mesh /
+    jax.sharding.use_mesh) or the legacy `with mesh:` resource env (what the
+    trainers and tests use)."""
+    from jax.sharding import get_abstract_mesh
+    if not get_abstract_mesh().empty:
+        return True
+    try:
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore', DeprecationWarning)
+            from jax.interpreters import pxla
+            return not pxla.thread_resources.env.physical_mesh.empty
+    except Exception:
+        return False
+
+
+def _sp_constrain(streams, sp_axis):
+    """Context parallelism: pin each residual stream [B, T, L, d] to
+    P('data', sp_axis) — batch over the data axis, FRAMES over the sequence
+    axis. GSPMD propagates the layout through the position-wise work (LN,
+    MLP, embeddings, dropout stay fully sharded) and inserts the K/V
+    all-gather over `sp_axis` inside attention, where frames attend across
+    the shard boundary. Outside a mesh context (e.g. params init on CPU,
+    single-device debug) the constraint is skipped — it is a pure layout
+    annotation, so values are unaffected."""
+    if sp_axis is None or not _mesh_in_context():
+        return streams
+    from jax.sharding import PartitionSpec as P
+    return [jax.lax.with_sharding_constraint(
+        x, P('data', sp_axis, *([None] * (x.ndim - 2)))) for x in streams]
+
+
 class MIGT(nn.Module):
     config: MIGTConfig
     dtype: Any = jnp.float32
     dropout_impl: str = 'rng'
     remat: bool = False
+    # context parallelism: mesh axis name to shard the residual streams'
+    # frame dimension over (None = off; see _sp_constrain). A scaling
+    # extension beyond the reference, like the 'model' axis in
+    # parallel/sharding.py.
+    sp_axis: Any = None
 
     @property
     def mask_token(self):
@@ -307,8 +346,10 @@ class MIGT(nn.Module):
         streams = [_maybe_dropout(self, x.astype(self.dtype), cfg.dropout,
                                   deterministic, self.dropout_impl)
                    for x in streams]
+        streams = _sp_constrain(streams, self.sp_axis)
         for block in self.h:
             streams = block(streams, deterministic)
+            streams = _sp_constrain(streams, self.sp_axis)
         streams = [self.ln_f(x) for x in streams]
 
         output = {'hidden_states': streams}

@@ -4,8 +4,13 @@ Replaces the reference's tf.distribute strategies and torch DDP
 (/root/reference/viewformer/train/utils.py:145-153, train_codebook_th.py:41):
 one `jax.sharding.Mesh` over all chips; batches sharded on the 'data' axis,
 parameters replicated (pure DP — the reference never shards models; its
-largest model is GPT-2-small class). A 'model' axis is provisioned for tensor
-parallelism of the transformer at larger scales.
+largest model is GPT-2-small class). Two more axes are provisioned for
+scaling the transformer beyond the reference: 'model' for Megatron-style
+tensor parallelism (parallel/sharding.py) and 'seq' for context parallelism
+(the MIGT residual streams sharded over the frame axis via
+`MIGT(sp_axis='seq')` sharding constraints; GSPMD inserts the K/V
+all-gathers inside attention). Both default to size 1, leaving the
+historical (data, model) behavior untouched.
 
 Multi-host: call `initialize_distributed()` once per process (the analogue of
 MultiWorkerMirroredStrategy / torchrun), then meshes span all processes and
@@ -25,28 +30,35 @@ def initialize_distributed(coordinator_address=None, num_processes=None, process
                                    num_processes=num_processes, process_id=process_id)
 
 
-def create_mesh(data_parallelism=None, model_parallelism=1, devices=None):
-    """Mesh of shape (data, model). Defaults to all devices on the data axis."""
+def create_mesh(data_parallelism=None, model_parallelism=1, devices=None, *,
+                seq_parallelism=1):
+    """Mesh of shape (data, seq, model). Defaults to all devices on the data
+    axis; 'seq' (context parallelism) and 'model' (tensor parallelism)
+    default to 1 so plain-DP callers are unaffected."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data_parallelism is None:
-        data_parallelism = n // model_parallelism
-    assert data_parallelism * model_parallelism == n, \
-        f'{data_parallelism}x{model_parallelism} != {n} devices'
-    device_array = np.asarray(devices).reshape(data_parallelism, model_parallelism)
-    return Mesh(device_array, ('data', 'model'))
+        data_parallelism = n // (model_parallelism * seq_parallelism)
+    assert data_parallelism * model_parallelism * seq_parallelism == n, \
+        f'{data_parallelism}x{seq_parallelism}x{model_parallelism} != {n} devices'
+    device_array = np.asarray(devices).reshape(
+        data_parallelism, seq_parallelism, model_parallelism)
+    return Mesh(device_array, ('data', 'seq', 'model'))
 
 
-def create_mesh_for_batch(batch_size, model_parallelism=1, devices=None):
+def create_mesh_for_batch(batch_size, model_parallelism=1, devices=None, *,
+                          seq_parallelism=1):
     """Mesh whose data axis evenly divides `batch_size` (drops trailing
     devices when the batch is smaller than the device count — tiny-config
     tests and debug runs)."""
     devices = devices if devices is not None else jax.devices()
-    n = len(devices) // model_parallelism
+    n = len(devices) // (model_parallelism * seq_parallelism)
     data = n
     while data > 1 and batch_size % data != 0:
         data -= 1
-    return create_mesh(data, model_parallelism, devices[:data * model_parallelism])
+    return create_mesh(data, model_parallelism,
+                       devices[:data * model_parallelism * seq_parallelism],
+                       seq_parallelism=seq_parallelism)
 
 
 def data_sharding(mesh, batch_dim=0):

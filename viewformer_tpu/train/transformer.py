@@ -128,10 +128,13 @@ def create_transformer_optimizer(config, total_steps=None, warmup_steps=2000):
 
 
 def init_transformer_state(config, rng, optimizer, dtype=jnp.float32,
-                           dropout_impl='rng', remat=True):
+                           dropout_impl='rng', remat=True, sp_axis=None):
     # remat default True: halves activation memory AND is required on some
-    # backends whose compiler rejects the unrolled grad-with-dropout graph
-    model = MIGT(config, dtype=dtype, dropout_impl=dropout_impl, remat=remat)
+    # backends whose compiler rejects the unrolled grad-with-dropout graph.
+    # sp_axis: context parallelism — shard the residual streams' frame axis
+    # over this mesh axis (models/migt._sp_constrain).
+    model = MIGT(config, dtype=dtype, dropout_impl=dropout_impl, remat=remat,
+                 sp_axis=sp_axis)
     poses = jnp.zeros((1, config.sequence_size, 7), jnp.float32)
     tokens = jnp.zeros((1, config.sequence_size, config.token_image_size,
                         config.token_image_size), jnp.int32)
@@ -244,12 +247,17 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
                       seed=42, use_bf16=True, wandb=False, log_every=50,
                       max_samples_per_environment=-1, mesh=None, progress=True,
                       profile_batch=50, steps_per_call=1, dropout_impl='rng',
-                      remat=True):
+                      remat=True, seq_parallelism=1):
     """Full training loop (CLI `train transformer` / `train finetune-transformer`).
 
     finetune_from: a job dir whose best/last checkpoint seeds the params while
     the optimizer restarts fresh — the step counter carries over so schedules
-    continue, matching ref finetune_transformer.py:78-87."""
+    continue, matching ref finetune_transformer.py:78-87.
+
+    seq_parallelism > 1 enables context parallelism: the mesh gains a 'seq'
+    axis of that size and the model shards its residual streams' frame axis
+    over it (activation memory scales down ~seq-fold; a scaling extension
+    beyond the reference, which is data-parallel only)."""
     from ..data.pipeline import load_token_dataset
     from .checkpoint import CheckpointManager, restore_checkpoint
     from .logging import MetricLogger
@@ -257,12 +265,15 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
     total_steps = total_steps or config.total_steps
     batch_size = batch_size or config.batch_size
     if mesh is None:
-        mesh = mesh_lib.create_mesh_for_batch(batch_size)
+        mesh = mesh_lib.create_mesh_for_batch(batch_size,
+                                              seq_parallelism=seq_parallelism)
     dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    sp_axis = 'seq' if seq_parallelism > 1 else None
 
     optimizer, lr_schedule = create_transformer_optimizer(config, total_steps)
     model, state = init_transformer_state(config, jax.random.PRNGKey(seed), optimizer,
-                                          dtype, dropout_impl=dropout_impl, remat=remat)
+                                          dtype, dropout_impl=dropout_impl, remat=remat,
+                                          sp_axis=sp_axis)
 
     ckpt = CheckpointManager(job_dir, config)
     start_step = 0
