@@ -10,9 +10,11 @@ steps equal the unconstrained (dp-only) run on the same mesh — the
 constraint must be a pure layout annotation.
 
 Validated on the CPU virtual-device mesh (dense attention path, like the tp
-tests); the fused Pallas kernels are a single-chip code path and sp=1 on the
-one real TPU chip, so the kernel×sp interplay is intentionally out of scope
-until multi-chip hardware exists (noted in parallel/mesh.py).
+tests). On TPU the fused Mosaic kernels run inside the shard_map wrap from
+ops/branching_attention._shard_plan (operands replicated along 'seq' inside
+the manual region — attention needs all frames anyway); that path is pinned
+by test_attention_shardmap and the v5e-8 topology compile in
+tools/lowering_check_fullsize.py --tpu-topology.
 """
 import numpy as np
 import pytest

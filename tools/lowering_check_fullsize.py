@@ -22,6 +22,17 @@ carries the layouts, or this script fails.
 Writes LOWERING_r03.json at the repo root. Run:
     python tools/lowering_check_fullsize.py
 (self-re-execs into a CPU subprocess with 8 virtual devices).
+
+--tpu-topology additionally compiles the SAME full-size step for a REAL
+TPU v5e-8 target (jax.experimental.topologies, 'v5e:2x4' — the actual XLA
+TPU compiler, no hardware needed) on dp8, dp4xtp2 and dp2xsp2xtp2 meshes,
+asserting the fused Mosaic attention kernels survive partitioning (they
+lower inside the shard_map wrap from ops/branching_attention._shard_plan;
+without it, any >1-device TPU lowering raises "Mosaic kernels cannot be
+automatically partitioned"). The CPU meshes above validate layouts/
+collectives but take the DENSE attention path — only this mode proves the
+production TPU kernel path is multi-chip-compilable. Writes
+LOWERING_TPU_r03.json.
 """
 import json
 import os
@@ -32,6 +43,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    entry = 'run_tpu_topology' if '--tpu-topology' in sys.argv[1:] else 'run'
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
     flags = [f for f in env.get('XLA_FLAGS', '').split()
@@ -43,38 +55,28 @@ def main():
              "jax.config.update('jax_platforms', 'cpu')\n"
              f"import sys; sys.path.insert(0, {REPO + '/tools'!r})\n"
              "import lowering_check_fullsize as m\n"
-             "m.run()\n")
+             f"m.{entry}()\n")
     proc = subprocess.run([sys.executable, '-c', child], env=env)
     sys.exit(proc.returncode)
 
 
-def _count(text, *names):
-    return {n: text.count(n) for n in names}
-
-
-def run():
+def _fullsize_abstract_state():
+    """(config, model, optimizer, abstract state/batch/rng ShapeDtypeStructs)
+    for the full-size reference train step — eval_shape only, nothing
+    materializes."""
     import jax
     import jax.numpy as jnp
 
     from viewformer_tpu.config import MIGTConfig
     from viewformer_tpu.models.migt import MIGT
-    from viewformer_tpu.parallel import mesh as mesh_lib
-    from viewformer_tpu.parallel.sharding import (migt_param_shardings,
-                                                  transformer_state_shardings)
     from viewformer_tpu.train.transformer import (TransformerTrainState,
-                                                  create_transformer_optimizer,
-                                                  make_transformer_train_step)
+                                                  create_transformer_optimizer)
 
-    assert len(jax.devices()) == 8, jax.devices()
     config = MIGTConfig(n_layer=12, d_model=768, n_head=12, sequence_size=20,
                         token_image_size=8, total_steps=200_000, dropout=0.1,
                         gradient_clip_val=1.0)
     optimizer, _ = create_transformer_optimizer(config)
     model = MIGT(config, dtype=jnp.bfloat16, dropout_impl='rng', remat=True)
-
-    # abstract full-size state: eval_shape only — nothing materializes
-    poses_s = jax.ShapeDtypeStruct((40, 20, 7), jnp.float32)
-    tokens_s = jax.ShapeDtypeStruct((40, 20, 8, 8), jnp.int32)
 
     def _init(rng):
         return model.init(rng, jnp.zeros((1, 20, 7), jnp.float32),
@@ -86,7 +88,90 @@ def run():
     opt_s = jax.eval_shape(optimizer.init, params_s)
     state_s = TransformerTrainState(params_s, opt_s,
                                     jax.ShapeDtypeStruct((), jnp.int32))
+    poses_s = jax.ShapeDtypeStruct((40, 20, 7), jnp.float32)
+    tokens_s = jax.ShapeDtypeStruct((40, 20, 8, 8), jnp.int32)
     rng_s = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    return config, model, optimizer, state_s, (poses_s, tokens_s), rng_s
+
+
+def run_tpu_topology():
+    """Compile the full-size train step for a REAL v5e-8 target (see module
+    docstring). Requires the Mosaic shard_map wrap to lower at all."""
+    import time
+
+    import jax
+    import numpy as np
+    from jax.experimental import topologies
+    from jax.sharding import Mesh
+
+    from viewformer_tpu.models.migt import MIGT
+    from viewformer_tpu.parallel import mesh as mesh_lib
+    from viewformer_tpu.parallel.sharding import transformer_state_shardings
+    from viewformer_tpu.train.transformer import make_transformer_train_step
+
+    topo = topologies.get_topology_desc(platform='tpu', topology_name='v5e:2x4',
+                                        chip_config_name='default')
+    assert len(topo.devices) == 8
+    config, model, optimizer, state_s, batch_s, rng_s = _fullsize_abstract_state()
+
+    report = {'config': '12L/768d/12H seq20 B40 remat dropout0.1',
+              'target': 'TPU v5e 2x4 (topology AOT, real XLA TPU compiler)',
+              'meshes': {}}
+    for dp, sp, tp in ((8, 1, 1), (4, 1, 2), (2, 2, 2)):
+        name = f'dp{dp}xsp{sp}xtp{tp}'
+        mesh = Mesh(np.asarray(topo.devices).reshape(dp, sp, tp),
+                    ('data', 'seq', 'model'))
+        sp_model = (MIGT(config, dtype=model.dtype, dropout_impl='rng',
+                         remat=True, sp_axis='seq') if sp > 1 else model)
+        shardings = transformer_state_shardings(state_s, mesh)
+
+        def as_sds(leaf, s):
+            return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype, sharding=s)
+
+        state_in = jax.tree.map(as_sds, state_s, shardings)
+        data_sh = mesh_lib.data_sharding(mesh)
+        batch_in = jax.tree.map(lambda x: as_sds(x, data_sh), batch_s)
+        rng_in = as_sds(rng_s, mesh_lib.replicated(mesh))
+        train_step = make_transformer_train_step(sp_model, config, optimizer,
+                                                 donate=False)
+        t0 = time.time()
+        with mesh:
+            lowered = train_step.lower(state_in, batch_in, rng_in)
+        t1 = time.time()
+        compiled = lowered.compile()
+        t2 = time.time()
+        text = compiled.as_text()
+        counts = _count(text, 'all-reduce', 'all-gather', 'reduce-scatter',
+                        'collective-permute', 'tpu_custom_call')
+        report['meshes'][name] = {
+            'lower_s': round(t1 - t0, 1), 'compile_s': round(t2 - t1, 1),
+            'collectives_and_kernels': counts, 'hlo_bytes': len(text),
+        }
+        assert counts['all-reduce'] >= 1, counts      # dp grad reduction
+        assert counts['tpu_custom_call'] >= 1, counts  # Mosaic kernels live
+        print(f'{name}: {counts} compile={t2 - t1:.1f}s')
+
+    out = os.path.join(REPO, 'LOWERING_TPU_r03.json')
+    report['ok'] = True
+    with open(out, 'w') as f:
+        json.dump(report, f, indent=1)
+    print('wrote', out)
+
+
+def _count(text, *names):
+    return {n: text.count(n) for n in names}
+
+
+def run():
+    import jax
+
+    from viewformer_tpu.parallel import mesh as mesh_lib
+    from viewformer_tpu.parallel.sharding import transformer_state_shardings
+    from viewformer_tpu.train.transformer import make_transformer_train_step
+
+    assert len(jax.devices()) == 8, jax.devices()
+    config, model, optimizer, state_s, (poses_s, tokens_s), rng_s = \
+        _fullsize_abstract_state()
 
     report = {'config': '12L/768d/12H seq20 B40 remat dropout0.1', 'meshes': {}}
     for dp, tp in ((8, 1), (4, 2)):

@@ -202,24 +202,6 @@ def cross_entropy_with_label_smoothing(labels, logits, label_smoothing=0.0):
     return -jnp.sum(target * log_probs, axis=-1)
 
 
-def _mesh_in_context():
-    """True when a device mesh is in scope for spec-only sharding
-    constraints — either the modern abstract mesh (jax.set_mesh /
-    jax.sharding.use_mesh) or the legacy `with mesh:` resource env (what the
-    trainers and tests use)."""
-    from jax.sharding import get_abstract_mesh
-    if not get_abstract_mesh().empty:
-        return True
-    try:
-        import warnings
-        with warnings.catch_warnings():
-            warnings.simplefilter('ignore', DeprecationWarning)
-            from jax.interpreters import pxla
-            return not pxla.thread_resources.env.physical_mesh.empty
-    except Exception:
-        return False
-
-
 def _sp_constrain(streams, sp_axis):
     """Context parallelism: pin each residual stream [B, T, L, d] to
     P('data', sp_axis) — batch over the data axis, FRAMES over the sequence
@@ -229,7 +211,8 @@ def _sp_constrain(streams, sp_axis):
     the shard boundary. Outside a mesh context (e.g. params init on CPU,
     single-device debug) the constraint is skipped — it is a pure layout
     annotation, so values are unaffected."""
-    if sp_axis is None or not _mesh_in_context():
+    from ..parallel.mesh import current_mesh
+    if sp_axis is None or current_mesh() is None:
         return streams
     from jax.sharding import PartitionSpec as P
     return [jax.lax.with_sharding_constraint(

@@ -201,6 +201,67 @@ def multi_end_causal_attention(kset, vset, qset, dropout_rate=0.0, dropout_rng=N
     return outputs
 
 
+def _shard_plan(B, H):
+    """How to run the fused Mosaic kernels under a multi-device mesh.
+
+    XLA cannot auto-partition Mosaic custom calls — lowering a jit that
+    contains one for >1 device raises (jax tpu_custom_call.py: "Mosaic
+    kernels cannot be automatically partitioned") — so on a multi-device
+    mesh the fused path must run inside a shard_map spanning ALL mesh axes.
+    Attention is embarrassingly parallel over batch and heads, which under
+    this repo's layouts are exactly the 'data' (batch) and 'model' (heads,
+    tensor-parallel c_attn) axes; any other axis (e.g. 'seq') leaves the
+    operands replicated inside the manual region, which is correct (every
+    group computes identical shards).
+
+    Returns None (no mesh / single device: call kernels directly — the
+    historical behavior, bitwise unchanged), 'dense' (multi-device mesh but
+    neither axis divides evenly: Mosaic cannot lower, use the dense XLA
+    path), or (mesh, data_axis_or_None, model_axis_or_None)."""
+    from ..parallel.mesh import current_mesh
+    mesh = current_mesh()
+    if mesh is None or mesh.size == 1:
+        return None
+    shape = dict(mesh.shape)
+    dax = 'data' if shape.get('data', 1) > 1 and B % shape['data'] == 0 else None
+    max_ = 'model' if shape.get('model', 1) > 1 and H % shape['model'] == 0 else None
+    if dax is None and max_ is None:
+        return 'dense'
+    return (mesh, dax, max_)
+
+
+def _shard_index(plan):
+    """Linear index of this device's (data, model) shard inside the manual
+    region — folded into the dropout rng so shards draw distinct noise
+    (the in-kernel hash indexes weights per LOCAL (batch, head) slot)."""
+    mesh, dax, max_ = plan
+    idx = None
+    if dax is not None:
+        idx = jax.lax.axis_index(dax)
+    if max_ is not None:
+        mi = jax.lax.axis_index(max_)
+        idx = mi if idx is None else idx * mesh.shape[max_] + mi
+    return idx
+
+
+def _shard_map_fused(fn, plan, n_streams, n_lead_scalars):
+    """Wrap a fused path over the whole mesh: tensor operands sharded on
+    (B, H) by the plan's axes, the first `n_lead_scalars` operands (seeds /
+    rng keys) replicated."""
+    from jax.sharding import PartitionSpec as P
+    mesh, dax, max_ = plan
+    tspec = P(dax, max_, None, None, None)
+
+    def wrap(q0, k0, v0, *rest):
+        scalars, branches = rest[:n_lead_scalars], rest[n_lead_scalars:]
+        in_specs = ((tspec, tspec, tspec) + (P(),) * n_lead_scalars
+                    + (tspec,) * len(branches))
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=(tspec,) * n_streams,
+                             check_vma=False)(q0, k0, v0, *rest)
+    return wrap
+
+
 def multi_end_block_attention(kset, vset, qset, dropout_rate=0.0, dropout_rng=None,
                               use_fused='auto', dropout_impl='rng'):
     """Full branching attention over a list of streams.
@@ -215,6 +276,9 @@ def multi_end_block_attention(kset, vset, qset, dropout_rate=0.0, dropout_rng=No
     fused, anything else -> dense), so the same traced program works on a CPU
     mesh and the TPU. True forces fused, False disables."""
     B, H, T, L, dh = qset[0].shape
+    plan = _shard_plan(B, H) if use_fused in ('auto', True) else None
+    if plan == 'dense':
+        use_fused = False  # Mosaic cannot lower multi-device without the wrap
     dropout_active = dropout_rng is not None and dropout_rate > 0.0
     if use_fused in ('auto', True) and dropout_active:
         from . import attention_pallas
@@ -229,6 +293,14 @@ def multi_end_block_attention(kset, vset, qset, dropout_rate=0.0, dropout_rng=No
             seeds1 = attention_pallas.seed_words(rng1)
 
             def fused_path(q0, k0, v0, s0, s1, r0, r1, *branches):
+                if plan is not None:
+                    # inside the shard_map manual region: each (data, model)
+                    # shard re-derives its seeds from the folded rng so the
+                    # in-kernel hash (indexed per LOCAL batch/head slot)
+                    # draws distinct noise per shard
+                    idx = _shard_index(plan)
+                    s0 = attention_pallas.seed_words(jax.random.fold_in(r0, idx))
+                    s1 = attention_pallas.seed_words(jax.random.fold_in(r1, idx))
                 out0 = attention_pallas.fused_block_causal_attention_dropout(
                     q0, k0, v0, s0, L, dropout_rate)
                 outputs = (out0,)
@@ -258,9 +330,11 @@ def multi_end_block_attention(kset, vset, qset, dropout_rate=0.0, dropout_rng=No
 
             args = (qset[0], kset[0], vset[0], seeds0, seeds1, rng0, rng1) \
                 + tuple(qset[1:]) + tuple(kset[1:]) + tuple(vset[1:])
+            fused_exec = fused_path if plan is None else _shard_map_fused(
+                fused_path, plan, len(qset), n_lead_scalars=4)
             if use_fused is True:
-                return fused_path(*args)
-            return jax.lax.platform_dependent(*args, tpu=fused_path,
+                return fused_exec(*args)
+            return jax.lax.platform_dependent(*args, tpu=fused_exec,
                                               default=dense_path)
 
     if use_fused in ('auto', True) and not dropout_active:
@@ -292,9 +366,11 @@ def multi_end_block_attention(kset, vset, qset, dropout_rate=0.0, dropout_rng=No
 
             args = (qset[0], kset[0], vset[0]) + tuple(qset[1:]) + tuple(kset[1:]) \
                 + tuple(vset[1:])
+            fused_exec = fused_path if plan is None else _shard_map_fused(
+                fused_path, plan, len(qset), n_lead_scalars=0)
             if use_fused is True:
-                return fused_path(*args)
-            return jax.lax.platform_dependent(*args, tpu=fused_path, default=dense_path)
+                return fused_exec(*args)
+            return jax.lax.platform_dependent(*args, tpu=fused_exec, default=dense_path)
 
     rng0 = rng1 = None
     if dropout_rng is not None:

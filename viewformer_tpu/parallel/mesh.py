@@ -97,6 +97,26 @@ def replicate(mesh, tree):
         lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)), tree)
 
 
+def current_mesh():
+    """The mesh in scope for spec-only sharding constraints / shard_map —
+    either the modern abstract mesh (jax.set_mesh / jax.sharding.use_mesh)
+    or the legacy `with mesh:` resource env (what the trainers, evaluators
+    and tests use). None when no mesh is in scope."""
+    from jax.sharding import get_abstract_mesh
+    am = get_abstract_mesh()
+    if not am.empty:
+        return am
+    try:
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore', DeprecationWarning)
+            from jax.interpreters import pxla
+            m = pxla.thread_resources.env.physical_mesh
+        return None if m.empty else m
+    except Exception:
+        return None
+
+
 @contextmanager
 def maybe_mesh(mesh):
     if mesh is None:
