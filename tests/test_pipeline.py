@@ -229,3 +229,19 @@ def test_prefetcher_close_unblocks_abandoned_producer():
             break
         time.sleep(0.05)
     assert closed
+
+
+def test_image_pipeline_uint8_mode(datasets):
+    """output_dtype='uint8' ships raw bytes; values match the f32 path after
+    the on-device normalize (same op order; see train/codebook._normalize_batch)."""
+    image_path, _ = datasets
+    f32 = list(load_image_dataset(image_path, batch_size=8, image_size=32,
+                                  split='train', shuffle=False))
+    u8 = list(load_image_dataset(image_path, batch_size=8, image_size=32,
+                                 split='train', shuffle=False,
+                                 output_dtype='uint8'))
+    assert len(f32) == len(u8)
+    for a, b in zip(f32, u8):
+        assert b.dtype == np.uint8
+        np.testing.assert_array_equal(
+            a, b.astype(np.float32) / 255.0 * 2.0 - 1.0)

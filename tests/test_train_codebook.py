@@ -132,3 +132,25 @@ def test_multi_step_matches_sequential():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
     np.testing.assert_allclose(np.asarray(state.quantizer['embeddings']),
                                np.asarray(state_m.quantizer['embeddings']), atol=1e-4)
+
+
+def test_train_step_uint8_equals_f32():
+    """The wire-efficient uint8 input path matches the f32 path to float
+    rounding (XLA constant-folds /255*2 into one multiply, so ~1 ulp of the
+    normalize differs from the host's two-op order — nothing more)."""
+    optimizer = create_codebook_optimizer(TINY)
+    model, state_a = init_codebook_state(TINY, jax.random.PRNGKey(0), optimizer)
+    _, state_b = init_codebook_state(TINY, jax.random.PRNGKey(0), optimizer)
+    train_step = make_codebook_train_step(model, TINY, optimizer, donate=False)
+    rng = np.random.RandomState(0)
+    raw = (rng.rand(8, 16, 16, 3) * 255).astype(np.uint8)
+    f32 = jnp.asarray(raw.astype(np.float32) / 255.0 * 2.0 - 1.0)
+    for i in range(3):
+        state_a, ma = train_step(state_a, f32)
+        state_b, mb = train_step(state_b, jnp.asarray(raw))
+        # the full loss trajectory stays equal to float noise (per-param
+        # bit-parity is NOT meaningful: Adam normalizes near-zero grads, so
+        # a 1-ulp input difference flips tiny-update signs)
+        np.testing.assert_allclose(np.asarray(ma['total_loss']),
+                                   np.asarray(mb['total_loss']),
+                                   rtol=1e-5, atol=1e-6, err_msg=f'step {i}')

@@ -98,6 +98,7 @@ def main():
             '--batch-size', str(args.micro_batch),
             '--accumulate-grad-batches', str(args.accumulate),
             '--steps-per-call', str(args.steps_per_call),
+            '--log-every', str(args.steps_per_call),
             '--epochs', '2', '--perceptual-weight', '0'] + model_flags
     t0 = time.time()
     proc = subprocess.run(cmd, env=env, cwd=REPO, text=True,
@@ -107,20 +108,40 @@ def main():
         raise RuntimeError('train codebook failed:\n' + proc.stdout[-2000:]
                            + proc.stderr[-4000:])
 
-    # sustained rate from the trainer's own metrics timestamps, skipping the
-    # first logged window (holds the compile)
+    # sustained rate from consecutive TRAIN windows (--log-every ==
+    # steps-per-call -> one window per dispatch). Windows that straddle an
+    # epoch boundary contain validation + a checkpoint save (a ~1min block
+    # at full size: val-pipeline spin-up + D2H of the ~1GB train state
+    # through the tunnel); measure them separately so the train rate isn't
+    # polluted — both numbers are reported.
     entries = []
     with open(os.path.join(args.job_dir, 'metrics.jsonl')) as f:
         for line in f:
             rec = json.loads(line)
             if 'train/total_loss' in rec:
-                entries.append((rec['step'], rec['time']))
-    if not entries:
-        raise RuntimeError('no logged train windows to measure')
-    if len(entries) < 2:
-        entries.insert(0, (0, 0.0))  # tiny smoke: window includes compile
-    (s0, t0_), (s1, t1_) = entries[0], entries[-1]
-    micro_per_s = (s1 - s0) / (t1_ - t0_)
+                entries.append(('train', rec['step'], rec['time']))
+            elif 'val/total_loss' in rec:
+                entries.append(('val', rec['step'], rec['time']))
+    trains = [(s, t) for kind, s, t in entries if kind == 'train']
+    if len(trains) < 2:
+        trains.insert(0, (0, 0.0))  # tiny smoke: window includes compile
+    val_steps = {s for kind, s, t in entries if kind == 'val'}
+    # windows NOT containing a validation block, skipping the compile window
+    clean, boundary = [], []
+    for (s0, t0_), (s1, t1_) in zip(trains[:-1], trains[1:]):
+        window = (s1 - s0, t1_ - t0_)
+        if any(s0 < v <= s1 or s0 <= v < s1 for v in val_steps):
+            boundary.append(window)
+        else:
+            clean.append(window)
+    if not clean:
+        clean = [(trains[-1][0] - trains[0][0], trains[-1][1] - trains[0][1])]
+    steps = sum(s for s, _ in clean)
+    secs = sum(t for _, t in clean)
+    micro_per_s = steps / secs
+    epoch_overhead = (sum(t for _, t in boundary)
+                      - sum(s for s, _ in boundary) / micro_per_s
+                      if boundary else 0.0)
     report = {
         'recipe': f'global batch {args.micro_batch * args.accumulate} = '
                   f'{args.micro_batch} micro x {args.accumulate} MultiSteps '
@@ -129,11 +150,12 @@ def main():
                   else 'tiny smoke config'),
         'path': f'production trainer, --steps-per-call {args.steps_per_call} '
                 f'({args.steps_per_call // args.accumulate} optimizer '
-                f'updates per dispatch), real input pipeline',
-        'micro_steps_measured': s1 - s0,
+                f'updates per dispatch), real input pipeline (uint8 wire)',
+        'micro_steps_measured': steps,
         'sustained_micro_steps_per_s': round(micro_per_s, 3),
         'sustained_images_per_s': round(micro_per_s * args.micro_batch, 1),
         'optimizer_update_s': round(args.accumulate / micro_per_s, 2),
+        'epoch_boundary_overhead_s': round(epoch_overhead, 1),
         'total_wall_s_incl_compile': round(wall, 1),
     }
     print(json.dumps(report, indent=1))

@@ -190,12 +190,13 @@ def _config_from_options(config_cls, options):
 @click.option('--perceptual-weight', type=float, default=None)
 @click.option('--steps-per-call', type=int, default=1,
               help='scan k train steps inside one jitted call')
+@click.option('--log-every', type=int, default=50)
 @click.option('--fp32', is_flag=True, help='disable bf16 compute')
 @click.option('--wandb', is_flag=True)
 @click.option('--resume/--no-resume', default=True)
 def train_codebook_cmd(dataset_path, job_dir, total_steps, epochs, batch_size,
-                       accumulate_grad_batches, steps_per_call, fp32, wandb, resume,
-                       **config_options):
+                       accumulate_grad_batches, steps_per_call, log_every,
+                       fp32, wandb, resume, **config_options):
     """Train the VQ-GAN codebook (stage 1)."""
     from .config import VQGANConfig
     from .train.codebook import train_codebook
@@ -207,7 +208,7 @@ def train_codebook_cmd(dataset_path, job_dir, total_steps, epochs, batch_size,
     train_codebook(config, dataset_path, job_dir, total_steps=config.total_steps,
                    epochs=epochs, batch_size=config.batch_size,
                    accumulate_grad_batches=accumulate_grad_batches,
-                   steps_per_call=steps_per_call,
+                   steps_per_call=steps_per_call, log_every=log_every,
                    resume=resume, use_bf16=not fp32, wandb=wandb)
 
 

@@ -191,11 +191,23 @@ def _resumable_epochs(epoch_iterator, repeat, start_state):
 def load_image_dataset(path, batch_size, image_size, split='train', repeat=None,
                        shuffle=True, seed=0, num_decode_threads=8,
                        num_decode_processes=0, num_channels=None,
-                       start_state=None):
+                       start_state=None, output_dtype='float32',
+                       buffer_size=2):
     """Flat per-frame image batches for codebook training.
 
     Yields float32 [batch, H, W, C] in [-1, 1]. `repeat=None` -> one epoch;
     repeat=-1 -> infinite; otherwise that many epochs.
+
+    output_dtype='uint8' yields raw [0, 255] uint8 instead — 4x less
+    host->device wire traffic AND no host-side float math; the train/eval
+    steps normalize ON DEVICE ((x/255)*2-1 == x/127.5-1 exactly, see
+    train/codebook._normalize_batch). Measured on the v5e tunnel: the f32
+    upload of a 40x44-batch superbatch cost 7.5s vs 4.4s device compute —
+    the sustained-throughput bottleneck.
+
+    buffer_size: Prefetcher depth in batches; scanned multi-step trainers
+    drain steps_per_call batches per dispatch, so a deeper buffer lets the
+    producer run ahead through the whole device window.
 
     num_decode_processes > 0 decodes JPEGs in a fork-based process pool
     (bypasses the GIL entirely — for feeding multi-chip meshes); otherwise a
@@ -250,14 +262,17 @@ def load_image_dataset(path, batch_size, image_size, split='train', repeat=None,
                     continue
                 batch.append(img)
                 if len(batch) == batch_size:
-                    stacked = np.stack(batch, 0).astype(np.float32) / 255.0
-                    yield stacked * 2.0 - 1.0
+                    if output_dtype == 'uint8':
+                        yield np.stack(batch, 0)
+                    else:
+                        stacked = np.stack(batch, 0).astype(np.float32) / 255.0
+                        yield stacked * 2.0 - 1.0
                     batch = []
         finally:
             closer()
 
     return Prefetcher(_resumable_epochs(epoch_iterator, repeat, start_state),
-                      track_state=True)
+                      buffer_size=buffer_size, track_state=True)
 
 
 def load_token_dataset(path, batch_size, sequence_size, token_image_size,

@@ -60,8 +60,20 @@ def init_codebook_state(config, rng, optimizer, dtype=jnp.float32, remat=False):
     return model, CodebookTrainState(params, quantizer, opt_state, jnp.zeros((), jnp.int32))
 
 
+def _normalize_batch(batch):
+    """Image batches arrive as f32 in [-1, 1] (historical) or as raw uint8
+    (wire-efficient: the pipeline ships 1 byte/px over the host->device link
+    and this normalize runs on device — same values as the f32 pipeline path
+    to ~1 ulp; XLA folds /255*2 into one multiply). The dtype branch
+    resolves at trace time."""
+    if batch.dtype == jnp.uint8:
+        return batch.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+    return batch
+
+
 def codebook_loss_fn(model, config, lpips_params, params, quantizer, batch):
     """Returns (loss, (aux_metrics, new_quantizer))."""
+    batch = _normalize_batch(batch)
     variables = {'params': params, 'quantizer': quantizer}
     (dec, e_latent_loss, _quant, codes), mutated = model.apply(
         variables, batch, training=True, mutable=['quantizer'])
@@ -134,6 +146,7 @@ def make_codebook_multi_step(model, config, optimizer, lpips_params=None, donate
 def make_codebook_eval_step(model, config, lpips_params=None):
     @jax.jit
     def eval_step(state, batch):
+        batch = _normalize_batch(batch)
         variables = {'params': state.params, 'quantizer': state.quantizer}
         dec, e_latent_loss, _quant, codes = model.apply(variables, batch, training=False)
         dec = dec.astype(jnp.float32)
@@ -213,9 +226,13 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
     logger = MetricLogger(job_dir, hparams=config.asdict(), use_wandb=wandb)
     steps_per_epoch = max(1, 1 + total_steps // epochs)
 
+    # uint8 over the wire (4x less upload, normalize on device) + a prefetch
+    # buffer deep enough for a whole scanned window
     train_data = load_image_dataset(dataset_path, batch_size, config.image_size,
                                     split='train', repeat=-1, seed=seed,
-                                    start_state=data_state)
+                                    start_state=data_state,
+                                    output_dtype='uint8',
+                                    buffer_size=max(2, steps_per_call))
     train_iter = iter(train_data)
     step = start_step
     with mesh:
@@ -253,7 +270,8 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
             # validation at epoch end
             val_metrics = {}
             val_data = load_image_dataset(dataset_path, batch_size, config.image_size,
-                                          split='test', repeat=1, shuffle=False, seed=seed)
+                                          split='test', repeat=1, shuffle=False,
+                                          seed=seed, output_dtype='uint8')
             val_iter = iter(val_data)
             count = 0
             for batch in val_iter:
