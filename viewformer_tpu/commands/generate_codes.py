@@ -38,6 +38,8 @@ class LatentCodeTransformer:
 
         # variables are jit arguments, not closure captures (compile-time blowup)
         def encode(variables, images):
+            from ..ops.image import normalize_images
+            images = normalize_images(images)  # uint8 wire -> f32 on device
             _quant, _loss, codes = self.model.apply(
                 variables, images, training=False,
                 method=type(self.model).encode)
@@ -59,7 +61,7 @@ class LatentCodeTransformer:
         fixed batch (unique jit specialization), shards over the mesh's data
         axis when one is set, and returns WITHOUT fetching — the caller keeps
         one batch in flight."""
-        x = frames.astype(np.float32) / 255.0 * 2.0 - 1.0
+        x = np.asarray(frames)  # uint8 wire; the jitted encode normalizes
         n = len(x)
         if n < self.batch_size:
             x = np.concatenate([x, np.zeros((self.batch_size - n,) + x.shape[1:], x.dtype)], 0)

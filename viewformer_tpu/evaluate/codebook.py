@@ -25,6 +25,8 @@ def make_reconstruct(codebook_model, codebook_vars):
     # variables are jit arguments, not closure captures (compile-time blowup)
     @jax.jit
     def reconstruct(variables, images):
+        from ..ops.image import normalize_images
+        images = normalize_images(images)  # uint8 wire -> f32 on device
         _quant, _loss, codes = codebook_model.apply(
             variables, images, training=False, method=type(codebook_model).encode)
         dec = codebook_model.apply(variables, codes, method=type(codebook_model).decode_code)
@@ -42,8 +44,8 @@ def generate_batch_predictions(codebook_model, codebook_vars, images, _cache=Non
         lambda: make_reconstruct(codebook_model, codebook_vars))
     images = np.asarray(images)
     fimages = resize(images, codebook_model.config.image_size)
-    x = fimages.astype(np.float32) / 255.0 * 2.0 - 1.0
-    (x,), b = cache.pad_batch(key, [x])
+    # ship uint8; the jitted reconstruct normalizes on device
+    (x,), b = cache.pad_batch(key, [fimages])
     if mesh is not None and x.shape[0] % mesh.shape['data'] == 0:
         from ..parallel import mesh as mesh_lib
         with mesh:

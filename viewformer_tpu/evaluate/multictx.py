@@ -32,6 +32,8 @@ def make_generate_batch_predictions(transformer_model, transformer_vars,
     # variables are jit arguments, not closure captures (compile-time blowup)
     @jax.jit
     def predict(transformer_variables, codebook_variables, images, cameras):
+        from ..ops.image import normalize_images
+        images = normalize_images(images)  # uint8 wire -> f32 on device
         B, S = images.shape[:2]
         ground_truth_cameras = cameras[:, -1]
         transform = None
@@ -95,8 +97,8 @@ def generate_batch_predictions(transformer_model, transformer_vars, codebook_mod
     images = np.asarray(images)
     fimages = resize(images.reshape((-1,) + images.shape[2:]),
                      codebook_model.config.image_size)
+    # ship uint8; the jitted predict normalizes on device (4x less upload)
     fimages = fimages.reshape(images.shape[:2] + fimages.shape[1:])
-    fimages = fimages.astype(np.float32) / 255.0 * 2.0 - 1.0
     (fimages, cameras), b = cache.pad_batch(
         key, [fimages, np.asarray(cameras, np.float32)])
     if mesh is not None and fimages.shape[0] % mesh.shape['data'] == 0:

@@ -91,10 +91,10 @@ def load_image_match_map(path):
 
 
 def _encode_codes(codebook_model, codebook_vars, images):
-    from ..ops.image import resize
+    from ..ops.image import normalize_images, resize
     images = np.asarray(images)
     fimages = resize(images.reshape((-1,) + images.shape[2:]), codebook_model.config.image_size)
-    x = jnp.asarray(fimages.astype(np.float32) / 255.0 * 2.0 - 1.0)
+    x = normalize_images(jnp.asarray(fimages))  # uint8 wire -> f32 on device
     variables = {'params': codebook_vars['params'], 'quantizer': codebook_vars['quantizer']}
     _q, _l, codes = codebook_model.apply(variables, x, training=False,
                                          method=type(codebook_model).encode)

@@ -14,6 +14,18 @@ import os
 import numpy as np
 
 
+def normalize_images(images):
+    """uint8 [0, 255] or f32 [-1, 1] -> f32 [-1, 1]; the dtype branch
+    resolves at jit-trace time. Accepting uint8 lets callers ship 1 byte/px
+    over the host->device link and run the (x/255)*2-1 normalize on device —
+    measured on the v5e tunnel, the f32 upload of big image batches costs
+    more than the model compute it feeds (see train/codebook)."""
+    import jax.numpy as jnp
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+    return images
+
+
 def _nearest_indices(out_size, in_size):
     # torch 'nearest': src = floor(dst * in/out)
     return np.minimum((np.arange(out_size) * (in_size / out_size)).astype(np.int64), in_size - 1)

@@ -220,8 +220,9 @@ class ServingSession:
         lead = images.shape[:n_leading]
         flat = images.reshape((-1,) + images.shape[n_leading:])
         flat = resize(flat, self.image_size)
-        flat = flat.astype(np.float32) / 255.0 * 2.0 - 1.0
-        return jnp.asarray(flat.reshape(lead + flat.shape[1:]))
+        # ship uint8; normalize on device (ops.image.normalize_images)
+        from .ops.image import normalize_images
+        return normalize_images(jnp.asarray(flat.reshape(lead + flat.shape[1:])))
 
     def _prepare_cameras(self, cameras, n_leading):
         cameras = np.asarray(cameras, np.float32)

@@ -62,13 +62,10 @@ def init_codebook_state(config, rng, optimizer, dtype=jnp.float32, remat=False):
 
 def _normalize_batch(batch):
     """Image batches arrive as f32 in [-1, 1] (historical) or as raw uint8
-    (wire-efficient: the pipeline ships 1 byte/px over the host->device link
-    and this normalize runs on device — same values as the f32 pipeline path
-    to ~1 ulp; XLA folds /255*2 into one multiply). The dtype branch
-    resolves at trace time."""
-    if batch.dtype == jnp.uint8:
-        return batch.astype(jnp.float32) / 255.0 * 2.0 - 1.0
-    return batch
+    (wire-efficient; same values as the f32 pipeline path to ~1 ulp — XLA
+    folds /255*2 into one multiply). See ops.image.normalize_images."""
+    from ..ops.image import normalize_images
+    return normalize_images(batch)
 
 
 def codebook_loss_fn(model, config, lpips_params, params, quantizer, batch):
