@@ -58,12 +58,39 @@ def test_shard_plan_modes():
     mesh = _mesh(2, model=2)
     with mesh:
         assert _shard_plan(B, H) == (mesh, 'data', 'model')
-        assert _shard_plan(B, 3) == (mesh, 'data', None)   # heads indivisible
-        assert _shard_plan(3, 3) == 'dense'                # nothing divides
+        # an IN-USE axis that cannot be evenly partitioned -> dense (a
+        # partial wrap would replicate that axis's work; dense partitions it)
+        assert _shard_plan(B, 3) == 'dense'
+        assert _shard_plan(3, 3) == 'dense'
     assert _shard_plan(B, H) is None                       # no mesh in scope
     one = _mesh(1)
     with one:
         assert _shard_plan(B, H) is None                   # single device
+    seq_only = _mesh(1, seq=2)
+    with seq_only:
+        # only unused axes >1: fully-replicated wrap keeps the fused kernel
+        assert _shard_plan(3, 3) == (seq_only, None, None)
+
+
+def test_use_fused_force_errors_on_unpartitionable_mesh():
+    mesh = _mesh(2, model=2)
+    qs = tuple(_rand(i, 3, 3, T, L, DH) for i in range(1))
+    with mesh, pytest.raises(ValueError, match='cannot be evenly partitioned'):
+        multi_end_block_attention(qs, qs, qs, use_fused=True)
+
+
+def test_wrapped_fused_seq_only_mesh_replicated(interpret_kernels):
+    """seq-only mesh: the fused kernel runs with fully replicated operands
+    and still matches dense."""
+    mesh = _mesh(1, seq=2)
+    qs = tuple(_rand(i, B, H, T, L, DH) for i in range(2))
+    ks = tuple(_rand(10 + i, B, H, T, L, DH) for i in range(2))
+    vs = tuple(_rand(20 + i, B, H, T, L, DH) for i in range(2))
+    dense0 = block_causal_attention(qs[0], ks[0], vs[0])
+    with mesh:
+        outs = jax.jit(lambda k, v, q: multi_end_block_attention(
+            k, v, q, use_fused=True))(ks, vs, qs)
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(dense0), atol=2e-5)
 
 
 def test_wrapped_fused_matches_dense_no_dropout(interpret_kernels):

@@ -77,9 +77,9 @@ def test_aux_cursor_survives_commit_lag(tmp_path, monkeypatch):
     gate = threading.Event()
     orig = ckpt_mod.CheckpointManager._fetch_and_save
 
-    def slow_fetch(self, step, snapshot, val_loss):
+    def slow_fetch(self, step):
         gate.wait(timeout=60)
-        return orig(self, step, snapshot, val_loss)
+        return orig(self, step)
 
     monkeypatch.setattr(ckpt_mod.CheckpointManager, '_fetch_and_save',
                         slow_fetch)

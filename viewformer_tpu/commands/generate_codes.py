@@ -61,7 +61,8 @@ class LatentCodeTransformer:
         fixed batch (unique jit specialization), shards over the mesh's data
         axis when one is set, and returns WITHOUT fetching — the caller keeps
         one batch in flight."""
-        x = np.asarray(frames)  # uint8 wire; the jitted encode normalizes
+        from ..ops.image import ensure_wire_images
+        x = ensure_wire_images(frames)  # uint8 wire; the jitted encode normalizes
         n = len(x)
         if n < self.batch_size:
             x = np.concatenate([x, np.zeros((self.batch_size - n,) + x.shape[1:], x.dtype)], 0)

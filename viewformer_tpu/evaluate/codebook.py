@@ -44,8 +44,10 @@ def generate_batch_predictions(codebook_model, codebook_vars, images, _cache=Non
         lambda: make_reconstruct(codebook_model, codebook_vars))
     images = np.asarray(images)
     fimages = resize(images, codebook_model.config.image_size)
-    # ship uint8; the jitted reconstruct normalizes on device
-    (x,), b = cache.pad_batch(key, [fimages])
+    # ship uint8; the jitted reconstruct normalizes on device. Float
+    # callers keep the historical host normalize (ensure_wire_images).
+    from ..ops.image import ensure_wire_images
+    (x,), b = cache.pad_batch(key, [ensure_wire_images(fimages)])
     if mesh is not None and x.shape[0] % mesh.shape['data'] == 0:
         from ..parallel import mesh as mesh_lib
         with mesh:

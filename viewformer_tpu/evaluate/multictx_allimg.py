@@ -108,9 +108,9 @@ def evaluate_transformer_multictx_allimg(loader, transformer_checkpoint,
     cvars = {'params': codebook_vars['params'], 'quantizer': codebook_vars['quantizer']}
 
     def encode_images(frames):
-        from ..ops.image import normalize_images
+        from ..ops.image import ensure_wire_images, normalize_images
         x = resize(frames.reshape((-1,) + frames.shape[2:]), codebook_model.config.image_size)
-        x = normalize_images(jnp.asarray(x))  # uint8 wire -> f32 on device
+        x = normalize_images(jnp.asarray(ensure_wire_images(x)))
         _q, _l, codes = codebook_model.apply(cvars, x, training=False,
                                              method=type(codebook_model).encode)
         grid = codes.shape[-2:]

@@ -91,10 +91,10 @@ def load_image_match_map(path):
 
 
 def _encode_codes(codebook_model, codebook_vars, images):
-    from ..ops.image import normalize_images, resize
+    from ..ops.image import ensure_wire_images, normalize_images, resize
     images = np.asarray(images)
     fimages = resize(images.reshape((-1,) + images.shape[2:]), codebook_model.config.image_size)
-    x = normalize_images(jnp.asarray(fimages))  # uint8 wire -> f32 on device
+    x = normalize_images(jnp.asarray(ensure_wire_images(fimages)))
     variables = {'params': codebook_vars['params'], 'quantizer': codebook_vars['quantizer']}
     _q, _l, codes = codebook_model.apply(variables, x, training=False,
                                          method=type(codebook_model).encode)

@@ -199,8 +199,10 @@ def generate_batch_predictions(transformer_model, transformer_vars, codebook_mod
     images = np.asarray(images)
     fimages = resize(images.reshape((-1,) + images.shape[2:]),
                      codebook_model.config.image_size)
-    # ship uint8; the jitted predict normalizes on device (4x less upload)
-    fimages = fimages.reshape(images.shape[:2] + fimages.shape[1:])
+    # ship uint8; the jitted predict normalizes on device (4x less upload).
+    # Float callers keep the historical host normalize (ensure_wire_images).
+    from ..ops.image import ensure_wire_images
+    fimages = ensure_wire_images(fimages.reshape(images.shape[:2] + fimages.shape[1:]))
     (fimages, cameras), b = cache.pad_batch(
         key, [fimages, np.asarray(cameras, np.float32)])
     if mesh is not None and fimages.shape[0] % mesh.shape['data'] == 0:

@@ -215,17 +215,22 @@ def _shard_plan(B, H):
     group computes identical shards).
 
     Returns None (no mesh / single device: call kernels directly — the
-    historical behavior, bitwise unchanged), 'dense' (multi-device mesh but
-    neither axis divides evenly: Mosaic cannot lower, use the dense XLA
-    path), or (mesh, data_axis_or_None, model_axis_or_None)."""
+    historical behavior, bitwise unchanged), 'dense' (an in-use mesh axis
+    cannot be evenly partitioned: wrapping would force full replication of
+    work that the dense XLA path can actually partition), or
+    (mesh, data_axis_or_None, model_axis_or_None) — both axes may be None,
+    e.g. a seq-only mesh, in which case the wrap runs the kernel with fully
+    replicated operands (every 'seq' group computes the same shards, which
+    is exactly what the surrounding program needs)."""
     from ..parallel.mesh import current_mesh
     mesh = current_mesh()
     if mesh is None or mesh.size == 1:
         return None
     shape = dict(mesh.shape)
-    dax = 'data' if shape.get('data', 1) > 1 and B % shape['data'] == 0 else None
-    max_ = 'model' if shape.get('model', 1) > 1 and H % shape['model'] == 0 else None
-    if dax is None and max_ is None:
+    data_sz, model_sz = shape.get('data', 1), shape.get('model', 1)
+    dax = 'data' if data_sz > 1 and B % data_sz == 0 else None
+    max_ = 'model' if model_sz > 1 and H % model_sz == 0 else None
+    if (data_sz > 1 and dax is None) or (model_sz > 1 and max_ is None):
         return 'dense'
     return (mesh, dax, max_)
 
@@ -233,7 +238,9 @@ def _shard_plan(B, H):
 def _shard_index(plan):
     """Linear index of this device's (data, model) shard inside the manual
     region — folded into the dropout rng so shards draw distinct noise
-    (the in-kernel hash indexes weights per LOCAL (batch, head) slot)."""
+    (the in-kernel hash indexes weights per LOCAL (batch, head) slot).
+    None when the wrap replicates over every axis (nothing to fold — all
+    devices must produce identical outputs)."""
     mesh, dax, max_ = plan
     idx = None
     if dax is not None:
@@ -278,7 +285,14 @@ def multi_end_block_attention(kset, vset, qset, dropout_rate=0.0, dropout_rng=No
     B, H, T, L, dh = qset[0].shape
     plan = _shard_plan(B, H) if use_fused in ('auto', True) else None
     if plan == 'dense':
-        use_fused = False  # Mosaic cannot lower multi-device without the wrap
+        if use_fused is True:
+            raise ValueError(
+                f'use_fused=True, but the Mosaic kernel cannot be evenly '
+                f'partitioned over the mesh in scope (B={B}, H={H}, mesh '
+                f'axes in use do not divide them) — it would have to be '
+                f'silently replaced by the dense path. Use use_fused='
+                f"'auto', or pick batch/head counts divisible by the mesh.")
+        use_fused = False  # auto: Mosaic cannot lower multi-device unwrapped
     dropout_active = dropout_rng is not None and dropout_rate > 0.0
     if use_fused in ('auto', True) and dropout_active:
         from . import attention_pallas
@@ -297,10 +311,13 @@ def multi_end_block_attention(kset, vset, qset, dropout_rate=0.0, dropout_rng=No
                     # inside the shard_map manual region: each (data, model)
                     # shard re-derives its seeds from the folded rng so the
                     # in-kernel hash (indexed per LOCAL batch/head slot)
-                    # draws distinct noise per shard
+                    # draws distinct noise per shard. idx is None for a
+                    # fully-replicated wrap — keep the original seeds so
+                    # every device produces identical (replicated) outputs.
                     idx = _shard_index(plan)
-                    s0 = attention_pallas.seed_words(jax.random.fold_in(r0, idx))
-                    s1 = attention_pallas.seed_words(jax.random.fold_in(r1, idx))
+                    if idx is not None:
+                        s0 = attention_pallas.seed_words(jax.random.fold_in(r0, idx))
+                        s1 = attention_pallas.seed_words(jax.random.fold_in(r1, idx))
                 out0 = attention_pallas.fused_block_causal_attention_dropout(
                     q0, k0, v0, s0, L, dropout_rate)
                 outputs = (out0,)

@@ -26,6 +26,20 @@ def normalize_images(images):
     return images
 
 
+def ensure_wire_images(images):
+    """Host-side boundary guard for the uint8-wire paths: uint8 passes
+    through untouched (the paired jit normalizes on device via
+    `normalize_images`); FLOAT inputs get the historical unconditional
+    host normalize (callers that hand float frames always meant [0, 255] —
+    the pre-uint8-wire code normalized every dtype, so this keeps those
+    callers working instead of silently feeding unscaled floats through the
+    pass-through branch of normalize_images)."""
+    images = np.asarray(images)
+    if images.dtype == np.uint8:
+        return images
+    return images.astype(np.float32) / 255.0 * 2.0 - 1.0
+
+
 def _nearest_indices(out_size, in_size):
     # torch 'nearest': src = floor(dst * in/out)
     return np.minimum((np.arange(out_size) * (in_size / out_size)).astype(np.int64), in_size - 1)

@@ -220,8 +220,10 @@ class ServingSession:
         lead = images.shape[:n_leading]
         flat = images.reshape((-1,) + images.shape[n_leading:])
         flat = resize(flat, self.image_size)
-        # ship uint8; normalize on device (ops.image.normalize_images)
-        from .ops.image import normalize_images
+        # ship uint8, normalize on device; float callers keep the
+        # historical host normalize (ensure_wire_images)
+        from .ops.image import ensure_wire_images, normalize_images
+        flat = ensure_wire_images(flat)
         return normalize_images(jnp.asarray(flat.reshape(lead + flat.shape[1:])))
 
     def _prepare_cameras(self, cameras, n_leading):

@@ -46,8 +46,17 @@ class CheckpointManager:
         import concurrent.futures
         self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix='ckpt-fetch')
-        self._pending = []
+        self._pending = []      # [(future, step)] — never contains cancelled
+        self._payloads = {}     # step -> (device snapshot, val_loss)
         self.saves_coalesced = 0
+        # Background fetch+save is single-process only: with multiple
+        # processes, per-process coalescing decisions would diverge (cancel
+        # success depends on local worker timing) and orbax's cross-process
+        # save barrier would hang on the process that skipped a step; numpy
+        # fetching is also impossible for non-fully-addressable arrays.
+        # Multi-process saves run synchronously on the device snapshot —
+        # orbax handles distributed arrays natively.
+        self._background = jax.process_count() == 1
 
     def save(self, step, state, val_loss=None, aux=None):
         """aux: small JSON-serializable side state tied to the rolling last
@@ -90,49 +99,71 @@ class CheckpointManager:
         snapshot = jax.tree.map(
             lambda a: jnp.copy(a) if isinstance(a, jax.Array) else np.asarray(a),
             state)
+        val_loss = None if val_loss is None else float(val_loss)
+        if not self._background:
+            # multi-process: synchronous, every process participates in the
+            # same orbax save (see __init__). The snapshot keeps it
+            # donation-safe; orbax fetches distributed arrays itself.
+            self._last.save(int(step), args=ocp.args.StandardSave(snapshot))
+            if val_loss is not None:
+                self._best.save(int(step), args=ocp.args.StandardSave(snapshot),
+                                metrics={'val_loss': val_loss})
+            return
         # Coalesce: cancel queued-but-unstarted saves (the rolling `last`
         # checkpoint only needs the newest; on hosts where the background
         # fetch is slower than the save cadence, queuing every save would
         # hold one full device-side snapshot EACH — ~1GB of HBM per pending
         # full-size save — and stretch the commit lag unboundedly). The
         # running fetch is never cancelled, so at most two snapshots are
-        # alive. Skipped epochs simply don't become checkpoints.
-        for f in self._pending:
+        # alive: payloads live in self._payloads (NOT in the executor work
+        # item, whose queue entry would pin a cancelled save's snapshot
+        # until the worker drains it) and are dropped here the moment the
+        # future is cancelled. Skipped epochs simply don't become
+        # checkpoints.
+        kept = []
+        for f, s in self._pending:
             if f.cancel():
                 self.saves_coalesced += 1
-        self._pending = [f for f in self._pending if not f.cancelled()]
-        self._pending.append(self._fetch_pool.submit(
-            self._fetch_and_save, int(step), snapshot,
-            None if val_loss is None else float(val_loss)))
-        # surface any failure from earlier background saves; drop completed
-        still_pending = []
-        for f in self._pending:
-            if f.done():
-                exc = f.exception()
-                if exc is not None:
-                    self._pending = still_pending
-                    raise exc
+                self._payloads.pop(s, None)  # free the HBM snapshot NOW
             else:
-                still_pending.append(f)
-        self._pending = still_pending
+                kept.append((f, s))
+        self._pending = kept
+        step = int(step)
+        self._payloads[step] = (snapshot, val_loss)
+        self._pending.append(
+            (self._fetch_pool.submit(self._fetch_and_save, step), step))
+        # surface any failure from earlier background saves; drop completed
+        # futures from tracking FIRST so a raise never orphans the rest
+        done = [f for f, _ in self._pending if f.done()]
+        self._pending = [(f, s) for f, s in self._pending if not f.done()]
+        for f in done:
+            exc = f.exception()
+            if exc is not None:
+                raise exc
 
-    def _fetch_and_save(self, step, snapshot, val_loss):
+    def _fetch_and_save(self, step):
+        payload = self._payloads.pop(step, None)
+        if payload is None:  # coalesced between submit and run
+            return
+        snapshot, val_loss = payload
         host = jax.tree.map(
             lambda a: np.asarray(a) if isinstance(a, jax.Array) else a,
             snapshot)
-        del snapshot  # free the device-side copy as soon as it's fetched
+        del snapshot, payload  # free the device-side copy once fetched
         self._last.save(step, args=ocp.args.StandardSave(host))
         if val_loss is not None:
             self._best.save(step, args=ocp.args.StandardSave(host),
                             metrics={'val_loss': val_loss})
 
     def wait(self):
-        for f in list(self._pending):
-            exc = f.exception()  # joins
-            if exc is not None:
-                self._pending.remove(f)
-                raise exc
-        self._pending = []
+        pending, self._pending = self._pending, []
+        first_exc = None
+        for f, _ in pending:
+            exc = f.exception()  # joins; _pending never holds cancelled
+            if exc is not None and first_exc is None:
+                first_exc = exc
+        if first_exc is not None:
+            raise first_exc
         self._last.wait_until_finished()
         self._best.wait_until_finished()
 

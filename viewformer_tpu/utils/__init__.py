@@ -163,9 +163,20 @@ def pull_checkpoint(checkpoint, override=False, local_source=None):
         if os.path.isdir(local_source):
             shutil.copytree(local_source, local_path)
             return local_path
-        os.makedirs(local_path, exist_ok=True)
-        with tarfile.open(local_source, mode='r:*') as tfile:
-            tfile.extractall(local_path)
+        # extract to a temp dir then rename: atomic install (a truncated
+        # archive never leaves a half-extracted dir that would be returned
+        # as cached forever), with the 'data' filter blocking path-traversal
+        # members (../, absolute paths, device nodes)
+        tmp_path = local_path + '.tmp-extract'
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        os.makedirs(tmp_path, exist_ok=True)
+        try:
+            with tarfile.open(local_source, mode='r:*') as tfile:
+                tfile.extractall(tmp_path, filter='data')
+            os.replace(tmp_path, local_path)
+        except Exception:
+            shutil.rmtree(tmp_path, ignore_errors=True)
+            raise
         return local_path
 
     import requests
@@ -178,9 +189,18 @@ def pull_checkpoint(checkpoint, override=False, local_source=None):
     if response.status_code != 200:
         raise Exception(f'Model {checkpoint} not found')
     total = int(response.headers.get('content-length', 0))
-    with tqdm(total=total, unit='iB', unit_scale=True) as progress_bar, \
-            tarfile.open(fileobj=response.raw, mode='r') as tfile:
-        for member in tfile:
-            tfile.extract(member, local_path)
-            progress_bar.update(member.size)
+    tmp_path = local_path + '.tmp-extract'
+    shutil.rmtree(tmp_path, ignore_errors=True)
+    os.makedirs(tmp_path, exist_ok=True)
+    try:
+        with tqdm(total=total, unit='iB', unit_scale=True) as progress_bar, \
+                tarfile.open(fileobj=response.raw, mode='r') as tfile:
+            for member in tfile:
+                tfile.extract(member, tmp_path, filter='data')
+                progress_bar.update(member.size)
+        shutil.rmtree(local_path, ignore_errors=True)  # pre-created empty dir
+        os.replace(tmp_path, local_path)
+    except Exception:
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        raise
     return local_path
