@@ -151,6 +151,58 @@ def run_tpu_topology():
         assert counts['tpu_custom_call'] >= 1, counts  # Mosaic kernels live
         print(f'{name}: {counts} compile={t2 - t1:.1f}s')
 
+    # --- codebook train step (full reference size, dp8): no Mosaic kernels
+    # (plain conv/attention), but pins that stage-1 training ALSO compiles
+    # for the real multi-chip TPU target with the dp collectives in place ---
+    import jax.numpy as jnp
+
+    from viewformer_tpu.config import VQGANConfig
+    from viewformer_tpu.train.codebook import (CodebookTrainState,
+                                               create_codebook_optimizer,
+                                               make_codebook_train_step)
+
+    cconfig = VQGANConfig(perceptual_weight=0.0)
+    coptimizer = create_codebook_optimizer(cconfig)
+    from viewformer_tpu.train.codebook import create_codebook_model
+    cmodel = create_codebook_model(cconfig, jnp.bfloat16, remat=True)
+
+    def _cinit(rng):
+        params_rng, quantizer_rng = jax.random.split(rng)
+        dummy = jnp.zeros((1, cconfig.image_size, cconfig.image_size,
+                           cconfig.in_channels), jnp.float32)
+        return cmodel.init({'params': params_rng, 'quantizer': quantizer_rng},
+                           dummy, training=False)
+
+    cvars_s = jax.eval_shape(_cinit, jax.random.PRNGKey(0))
+    copt_s = jax.eval_shape(coptimizer.init, cvars_s['params'])
+    cstate_s = CodebookTrainState(cvars_s['params'], cvars_s['quantizer'],
+                                  copt_s, jax.ShapeDtypeStruct((), jnp.int32))
+    cmesh = Mesh(np.asarray(topo.devices).reshape(8, 1, 1),
+                 ('data', 'seq', 'model'))
+    crepl = mesh_lib.replicated(cmesh)
+    cstate_in = jax.tree.map(
+        lambda leaf: jax.ShapeDtypeStruct(leaf.shape, leaf.dtype, sharding=crepl),
+        cstate_s)
+    # uint8 wire batch, normalized on device (the production trainer path)
+    cbatch_in = jax.ShapeDtypeStruct((352, 128, 128, 3), jnp.uint8,
+                                     sharding=mesh_lib.data_sharding(cmesh))
+    cstep = make_codebook_train_step(cmodel, cconfig, coptimizer, donate=False)
+    t0 = time.time()
+    with cmesh:
+        clowered = cstep.lower(cstate_in, cbatch_in)
+    t1 = time.time()
+    ccompiled = clowered.compile()
+    t2 = time.time()
+    ctext = ccompiled.as_text()
+    ccounts = _count(ctext, 'all-reduce', 'all-gather', 'reduce-scatter')
+    report['codebook_dp8'] = {
+        'config': 'full-size VQGAN ch=128 @128px bf16 remat, global batch 352 uint8',
+        'lower_s': round(t1 - t0, 1), 'compile_s': round(t2 - t1, 1),
+        'collectives': ccounts, 'hlo_bytes': len(ctext),
+    }
+    assert ccounts['all-reduce'] >= 1, ccounts  # dp grads + quantizer EMA stats
+    print(f'codebook dp8: {ccounts} compile={t2 - t1:.1f}s')
+
     out = os.path.join(REPO, 'LOWERING_TPU_r03.json')
     report['ok'] = True
     with open(out, 'w') as f:
