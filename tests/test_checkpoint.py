@@ -95,9 +95,15 @@ def test_aux_cursor_survives_commit_lag(tmp_path, monkeypatch):
     # the save of 20 was queued behind the in-flight 10 and must have been
     # coalesced away by the save of 30
     assert mgr.saves_coalesced == 1
+    # ...and its device-side snapshot must be freed IMMEDIATELY on coalesce
+    # (payloads live outside the executor queue precisely so a cancelled
+    # save can't pin ~1GB of HBM until the worker drains it): only the
+    # in-flight 10 and the queued 30 may hold snapshots
+    assert set(mgr._payloads) <= {10, 30}
 
     gate.set()
     mgr.wait()
+    assert mgr._payloads == {}  # every snapshot released after the joins
     committed = sorted(int(d) for d in os.listdir(os.path.join(job, 'last'))
                        if d.isdigit())
     assert committed == [30]  # max_to_keep=1; 10 committed first, then 30

@@ -88,3 +88,27 @@ def test_png_roundtrip_rgba():
     assert data[:8] == b'\x89PNG\r\n\x1a\n'
     decoded = decode_image(data)
     np.testing.assert_array_equal(decoded, image)  # PNG is lossless
+
+
+def test_ensure_wire_images_boundary():
+    """uint8 passes through untouched (the jit normalizes on device); float
+    inputs get the historical unconditional [0,255] -> [-1,1] normalize."""
+    import numpy as np
+    from viewformer_tpu.ops.image import ensure_wire_images, normalize_images
+    u8 = (np.arange(12, dtype=np.uint8) * 20).reshape(1, 2, 2, 3)
+    out = ensure_wire_images(u8)
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, u8)
+    f = u8.astype(np.float64)  # a float-frames caller (old API tolerance)
+    out = ensure_wire_images(f)
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out, u8.astype(np.float32) / 255.0 * 2.0 - 1.0)
+
+    # the device-side pair: uint8 -> normalized f32; f32 passthrough
+    import jax.numpy as jnp
+    dev = normalize_images(jnp.asarray(u8))
+    np.testing.assert_allclose(np.asarray(dev),
+                               u8.astype(np.float32) / 255.0 * 2.0 - 1.0,
+                               rtol=1e-6, atol=1e-6)
+    passthrough = normalize_images(jnp.asarray(out))
+    np.testing.assert_array_equal(np.asarray(passthrough), out)
