@@ -277,8 +277,12 @@ def load_image_dataset(path, batch_size, image_size, split='train', repeat=None,
 
 def load_token_dataset(path, batch_size, sequence_size, token_image_size,
                        split='train', repeat=None, max_samples_per_environment=-1,
-                       transform=None, shuffle=True, seed=0, start_state=None):
+                       transform=None, shuffle=True, seed=0, start_state=None,
+                       buffer_size=2):
     """(poses [B,S,7], tokens [B,S,h,w]) batches for transformer training.
+
+    buffer_size: Prefetcher depth in batches (scanned multi-step trainers
+    drain steps_per_call batches per dispatch — see load_image_dataset).
 
     Supports comma-separated multi-dataset mixing and the val/test split
     fallback (ref tfrecord_dataset.py:134-197). Frames are shuffled within
@@ -374,4 +378,4 @@ def load_token_dataset(path, batch_size, sequence_size, token_image_size,
                 batch = []
 
     return Prefetcher(_resumable_epochs(epoch_iterator, repeat, start_state),
-                      track_state=True)
+                      buffer_size=buffer_size, track_state=True)

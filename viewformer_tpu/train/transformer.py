@@ -336,7 +336,7 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
         dataset_path, batch_size, config.sequence_size, config.token_image_size,
         split='train', repeat=-1, seed=seed, transform=transform,
         max_samples_per_environment=max_samples_per_environment,
-        start_state=data_state)
+        start_state=data_state, buffer_size=max(2, steps_per_call))
     train_iter = iter(train_data)
 
     rng = jax.random.PRNGKey(seed + 1)
