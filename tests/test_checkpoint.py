@@ -62,6 +62,30 @@ def test_aux_state_roundtrip(tmp_path):
     assert aux == {'step': 5, 'data_iterator': {'epoch': 1, 'batch': 7}}
 
 
+def test_aux_ahead_of_commit_is_not_preferred(tmp_path):
+    """A crash can leave an aux file NEWER than the newest committed
+    checkpoint (its save never committed). load_aux must resolve the newest
+    aux at-or-below the committed step — a newer cursor would fast-forward
+    the data iterator past data the restored state never trained on."""
+    job = str(tmp_path / 'job')
+    mgr = CheckpointManager(job)
+    state = {'w': jnp.zeros(2)}
+    mgr.save(10, state, aux={'data_iterator': {'epoch': 0, 'batch': 10}})
+    mgr.close()
+    # simulate the killed-mid-save leftover: aux written, commit never landed
+    import json
+    import os
+    with open(os.path.join(job, 'aux-20.json'), 'w') as f:
+        json.dump({'step': 20, 'data_iterator': {'epoch': 0, 'batch': 20}}, f)
+    aux = CheckpointManager(job).load_aux()
+    assert aux['step'] == 10, aux
+    # ...but when NO at-or-below cursor exists, the newer one is still
+    # better than none (documented fallback)
+    os.unlink(os.path.join(job, 'aux-10.json'))
+    aux = CheckpointManager(job).load_aux()
+    assert aux['step'] == 20, aux
+
+
 def test_aux_cursor_survives_commit_lag(tmp_path, monkeypatch):
     """With background-fetch saves the commit can lag many saves behind the
     train loop (slow-D2H hosts). The aux cursor of the newest COMMITTED

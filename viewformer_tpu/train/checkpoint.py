@@ -44,11 +44,20 @@ class CheckpointManager:
         # fetch-compute overlap bench.py uses). One worker => saves stay
         # ordered.
         import concurrent.futures
+        import threading
         self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix='ckpt-fetch')
         self._pending = []      # [(future, step)] — never contains cancelled
         self._payloads = {}     # step -> (device snapshot, val_loss)
         self.saves_coalesced = 0
+        # orbax CheckpointManagers are not documented thread-safe; the
+        # background worker calls _last/_best.save() while the main thread
+        # may query/restore. All manager access goes through this lock, and
+        # the main thread's aux GC reads the CACHED committed step (updated
+        # by the worker after each commit) instead of calling latest_step()
+        # concurrently with a save.
+        self._mgr_lock = threading.Lock()
+        self._committed_step = self._last.latest_step()
         # Background fetch+save is single-process only: with multiple
         # processes, per-process coalescing decisions would diverge (cancel
         # success depends on local worker timing) and orbax's cross-process
@@ -79,7 +88,8 @@ class CheckpointManager:
             # it — deleting by recency alone orphaned the resume cursor
             # (observed: exact-resume degraded to epoch-start resume).
             import re
-            committed = self._last.latest_step()
+            committed = (self._committed_step if self._background
+                         else self._last.latest_step())
             steps = sorted(
                 int(m.group(1)) for m in
                 (re.fullmatch(r'aux-(\d+)\.json', f)
@@ -133,13 +143,18 @@ class CheckpointManager:
         self._pending.append(
             (self._fetch_pool.submit(self._fetch_and_save, step), step))
         # surface any failure from earlier background saves; drop completed
-        # futures from tracking FIRST so a raise never orphans the rest
+        # futures from tracking FIRST so a raise never orphans the rest.
+        # All completed futures are inspected — the first exception is
+        # raised and any others are logged rather than silently dropped.
         done = [f for f, _ in self._pending if f.done()]
         self._pending = [(f, s) for f, s in self._pending if not f.done()]
-        for f in done:
-            exc = f.exception()
-            if exc is not None:
-                raise exc
+        excs = [e for e in (f.exception() for f in done) if e is not None]
+        if excs:
+            for extra in excs[1:]:
+                import logging
+                logging.getLogger(__name__).error(
+                    'additional background checkpoint save failure: %r', extra)
+            raise excs[0]
 
     def _fetch_and_save(self, step):
         payload = self._payloads.pop(step, None)
@@ -150,25 +165,40 @@ class CheckpointManager:
             lambda a: np.asarray(a) if isinstance(a, jax.Array) else a,
             snapshot)
         del snapshot, payload  # free the device-side copy once fetched
-        self._last.save(step, args=ocp.args.StandardSave(host))
-        if val_loss is not None:
-            self._best.save(step, args=ocp.args.StandardSave(host),
-                            metrics={'val_loss': val_loss})
+        with self._mgr_lock:
+            self._last.save(step, args=ocp.args.StandardSave(host))
+            if val_loss is not None:
+                self._best.save(step, args=ocp.args.StandardSave(host),
+                                metrics={'val_loss': val_loss})
+        self._committed_step = step  # atomic assignment; read by aux GC
 
     def wait(self):
+        """Join all background saves, then orbax finalization. Exceptions
+        from failed saves are collected (not raised mid-join) so the orbax
+        wait_until_finished/shutdown path always runs; the first failure is
+        raised at the end and the rest logged."""
         pending, self._pending = self._pending, []
-        first_exc = None
+        excs = []
         for f, _ in pending:
             exc = f.exception()  # joins; _pending never holds cancelled
-            if exc is not None and first_exc is None:
-                first_exc = exc
-        if first_exc is not None:
-            raise first_exc
-        self._last.wait_until_finished()
-        self._best.wait_until_finished()
+            if exc is not None:
+                excs.append(exc)
+        try:
+            with self._mgr_lock:
+                self._last.wait_until_finished()
+                self._best.wait_until_finished()
+        finally:
+            if excs:
+                for extra in excs[1:]:
+                    import logging
+                    logging.getLogger(__name__).error(
+                        'additional background checkpoint save failure: %r',
+                        extra)
+                raise excs[0]
 
     def latest_step(self):
-        return self._last.latest_step()
+        with self._mgr_lock:
+            return self._last.latest_step()
 
     def load_aux(self):
         """The aux dict consistent with the newest COMMITTED checkpoint:
@@ -184,8 +214,20 @@ class CheckpointManager:
             int(m.group(1)) for m in
             (re.fullmatch(r'aux-(\d+)\.json', f)
              for f in os.listdir(self.job_dir)) if m)
+        # Fallback order matters: an aux file NEWER than the committed
+        # checkpoint (e.g. some saves pass aux=None) would hand back a data
+        # cursor AHEAD of the restored state — the exact desync the per-step
+        # scheme exists to prevent. Prefer the newest aux at or below the
+        # committed step; only if none exists consider newer ones (better
+        # a slightly-ahead cursor than none at all when resuming).
+        if step is not None:
+            at_or_below = [s for s in steps if s <= step]
+            above = [s for s in steps if s > step]
+            ordered = list(reversed(at_or_below)) + list(reversed(above))
+        else:
+            ordered = list(reversed(steps))
         candidates += [os.path.join(self.job_dir, f'aux-{s}.json')
-                       for s in reversed(steps)]
+                       for s in ordered]
         candidates.append(os.path.join(self.job_dir, 'last_aux.json'))
         for path in candidates:
             if os.path.exists(path):
@@ -215,24 +257,33 @@ class CheckpointManager:
     def restore_last(self, abstract_state=None):
         """Returns (state_dict, step); state_dict keys match the NamedTuple
         fields passed to save."""
-        step = self._last.latest_step()
-        if step is None:
-            return None, None
-        state = self._last.restore(step, args=self._restore_args(abstract_state))
+        with self._mgr_lock:
+            step = self._last.latest_step()
+            if step is None:
+                return None, None
+            state = self._last.restore(
+                step, args=self._restore_args(abstract_state))
         return self._neutralize(state, abstract_state), step
 
     def restore_best(self, abstract_state=None):
-        step = self._best.best_step()
-        if step is None:
-            return None, None
-        state = self._best.restore(step, args=self._restore_args(abstract_state))
+        with self._mgr_lock:
+            step = self._best.best_step()
+            if step is None:
+                return None, None
+            state = self._best.restore(
+                step, args=self._restore_args(abstract_state))
         return self._neutralize(state, abstract_state), step
 
     def close(self):
-        self.wait()
-        self._fetch_pool.shutdown(wait=True)
-        self._last.close()
-        self._best.close()
+        try:
+            self.wait()
+        finally:
+            # always release worker thread + orbax resources, even when a
+            # background save failed (wait() re-raises its exception)
+            self._fetch_pool.shutdown(wait=True)
+            with self._mgr_lock:
+                self._last.close()
+                self._best.close()
 
 
 def restore_checkpoint(job_dir, abstract_state=None, prefer='best'):

@@ -182,8 +182,10 @@ def pull_checkpoint(checkpoint, override=False, local_source=None):
     import requests
     from tqdm import tqdm
 
+    # NOTE: local_path is NOT pre-created — a failed download (404,
+    # truncated stream) must leave no cache entry, or subsequent calls
+    # would return the empty dir as a valid checkpoint without --override.
     path = f'{_CHECKPOINT_URL}/{checkpoint}.tar.gz'
-    os.makedirs(local_path, exist_ok=True)
 
     response = requests.get(path, stream=True)
     if response.status_code != 200:
@@ -198,7 +200,6 @@ def pull_checkpoint(checkpoint, override=False, local_source=None):
             for member in tfile:
                 tfile.extract(member, tmp_path, filter='data')
                 progress_bar.update(member.size)
-        shutil.rmtree(local_path, ignore_errors=True)  # pre-created empty dir
         os.replace(tmp_path, local_path)
     except Exception:
         shutil.rmtree(tmp_path, ignore_errors=True)
