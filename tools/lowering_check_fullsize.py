@@ -33,6 +33,11 @@ automatically partitioned"). The CPU meshes above validate layouts/
 collectives but take the DENSE attention path — only this mode proves the
 production TPU kernel path is multi-chip-compilable. Writes
 LOWERING_TPU_r03.json.
+
+--tpu-topology-inference compiles the sharded INFERENCE programs the same
+way (evaluate-transformer fused predict, generate-codes encode,
+ServingSession prefill + render — see run_tpu_topology_inference). Writes
+LOWERING_TPU_r04.json.
 """
 import json
 import os
@@ -43,7 +48,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
-    entry = 'run_tpu_topology' if '--tpu-topology' in sys.argv[1:] else 'run'
+    if '--tpu-topology-inference' in sys.argv[1:]:
+        entry = 'run_tpu_topology_inference'
+    elif '--tpu-topology' in sys.argv[1:]:
+        entry = 'run_tpu_topology'
+    else:
+        entry = 'run'
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
     flags = [f for f in env.get('XLA_FLAGS', '').split()
@@ -212,6 +222,174 @@ def run_tpu_topology():
 
 def _count(text, *names):
     return {n: text.count(n) for n in names}
+
+
+def run_tpu_topology_inference():
+    """AOT-compile the SHARDED INFERENCE programs for a real v5e-8 target.
+
+    The round-3 landmine (Mosaic kernels cannot be auto-partitioned; the
+    fused attention must run inside an all-axes shard_map) was caught in the
+    TRAIN step only — the sharded inference programs take the exact same
+    fused path on >1-device TPU meshes but CPU tests can never see it
+    (jax.lax.platform_dependent routes CPU to the dense branch). This
+    compiles, with the real XLA TPU compiler against a v5e:2x4 topology, the
+    ACTUAL jitted programs the production code builds (not re-derived
+    copies):
+
+      - evaluate-transformer fused predict (encode -> prefill -> generate ->
+        decode -> localize; evaluate/transformer.py
+        make_generate_batch_predictions) on dp8 AND dp4xtp2 — the dp x tp
+        leg exercises the _shard_plan heads-over-'model' folding;
+      - generate-codes encode (commands/generate_codes.py
+        LatentCodeTransformer._encode) at the production batch 352, dp8;
+      - ServingSession._start_fn (context prefill) and ._render_fn
+        (query-branch generate + decode) from serve.py, dp8.
+
+    Asserts tpu_custom_call survives partitioning wherever the program
+    contains the fused prefill (predict, serve start). Writes
+    LOWERING_TPU_r04.json. Full-size model configs throughout (VQ-GAN
+    ch=128 @128px, MIGT 12L/768d/12H).
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from viewformer_tpu.config import MIGTConfig, VQGANConfig
+    from viewformer_tpu.models import AutoModel
+
+    topo = topologies.get_topology_desc(platform='tpu', topology_name='v5e:2x4',
+                                        chip_config_name='default')
+    assert len(topo.devices) == 8
+    tconfig = MIGTConfig()   # full reference size: 12L/768d/12H, seq 20
+    cconfig = VQGANConfig()  # ch=128 @128px
+    tmodel = AutoModel.from_config(tconfig, dtype=jnp.bfloat16)
+    cmodel = AutoModel.from_config(cconfig, dtype=jnp.bfloat16)
+    S = tconfig.sequence_size
+    B = 16  # eval/serve scene batch: 2 sequences per chip on v5e-8
+
+    def _tinit(rng):
+        return tmodel.init(rng, jnp.zeros((1, S, 7), jnp.float32),
+                           jnp.zeros((1, S, 8, 8), jnp.int32),
+                           compute_losses=False)
+
+    def _cinit(rng):
+        r1, r2 = jax.random.split(rng)
+        return cmodel.init({'params': r1, 'quantizer': r2},
+                           jnp.zeros((1, 128, 128, 3), jnp.float32),
+                           training=False)
+
+    tvars_s = jax.eval_shape(_tinit, jax.random.PRNGKey(0))
+    cvars_s = jax.eval_shape(_cinit, jax.random.PRNGKey(1))
+    tvars_s = {'params': tvars_s['params']}
+    cvars_s = {'params': cvars_s['params'], 'quantizer': cvars_s['quantizer']}
+
+    def repl(tree, mesh):
+        r = NamedSharding(mesh, P())
+        return jax.tree.map(
+            lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=r), tree)
+
+    report = {'target': 'TPU v5e 2x4 (topology AOT, real XLA TPU compiler)',
+              'config': 'VQGAN ch=128 @128px + MIGT 12L/768d/12H seq20, '
+                        'eval/serve batch 16, generate-codes batch 352',
+              'note': 'train-step legs live in LOWERING_TPU_r03.json',
+              'legs': {}}
+
+    def compile_leg(name, jitted, args, mesh, expect_mosaic):
+        t0 = time.time()
+        with mesh:
+            lowered = jitted.lower(*args)
+        t1 = time.time()
+        compiled = lowered.compile()
+        t2 = time.time()
+        text = compiled.as_text()
+        counts = _count(text, 'all-reduce', 'all-gather', 'reduce-scatter',
+                        'collective-permute', 'tpu_custom_call')
+        report['legs'][name] = {
+            'lower_s': round(t1 - t0, 1), 'compile_s': round(t2 - t1, 1),
+            'collectives_and_kernels': counts, 'hlo_bytes': len(text),
+        }
+        if expect_mosaic:  # fused Mosaic attention survived partitioning
+            assert counts['tpu_custom_call'] >= 1, (name, counts)
+        print(f'{name}: {counts} compile={t2 - t1:.1f}s', flush=True)
+
+    # --- evaluate transformer: the fused predict program, dp8 + dp4xtp2 ---
+    from viewformer_tpu.evaluate.transformer import make_generate_batch_predictions
+    for dp, tp in ((8, 1), (4, 2)):
+        mesh = Mesh(np.asarray(topo.devices).reshape(dp, 1, tp),
+                    ('data', 'seq', 'model'))
+        data = NamedSharding(mesh, P('data'))
+        bound = make_generate_batch_predictions(tmodel, tvars_s, cmodel, cvars_s)
+        predict_jit, (tv_s, cv_s) = bound.func, bound.args
+        images_in = jax.ShapeDtypeStruct((B, S, 128, 128, 3), jnp.uint8,
+                                         sharding=data)
+        cameras_in = jax.ShapeDtypeStruct((B, S, 7), jnp.float32, sharding=data)
+        compile_leg(f'evaluate_predict_dp{dp}xtp{tp}', predict_jit,
+                    (repl(tv_s, mesh), repl(cv_s, mesh), images_in, cameras_in),
+                    mesh, expect_mosaic=True)
+
+    mesh8 = Mesh(np.asarray(topo.devices).reshape(8, 1, 1),
+                 ('data', 'seq', 'model'))
+    data8 = NamedSharding(mesh8, P('data'))
+
+    # --- generate-codes: the production encode program at batch 352 ---
+    from viewformer_tpu.commands.generate_codes import LatentCodeTransformer
+    lct = LatentCodeTransformer(cmodel, cvars_s, batch_size=352)
+    img_in = jax.ShapeDtypeStruct((352, 128, 128, 3), jnp.uint8, sharding=data8)
+    compile_leg('generate_codes_encode_dp8', lct._encode.func,
+                (repl(lct.variables, mesh8), img_in), mesh8,
+                expect_mosaic=False)  # conv towers + quantizer, no Mosaic
+
+    # --- ServingSession: context prefill (_start) and render steps ---
+    from viewformer_tpu.serve import ServingSession
+    session = ServingSession(tmodel, tvars_s, cmodel, cvars_s, batch_size=B,
+                             max_frames=S - 1)
+    T = S - 1
+    # serve's host wrapper normalizes images before dispatch, so _start takes
+    # f32 [-1,1] frames (serve.py _prepare_images)
+    simg_in = jax.ShapeDtypeStruct((B, T, 128, 128, 3), jnp.float32,
+                                   sharding=data8)
+    scam_in = jax.ShapeDtypeStruct((B, T, 7), jnp.float32, sharding=data8)
+    tparams_s = session._tparams
+    cvars_sess = session._cvars
+    compile_leg('serve_start_prefill_dp8', session._start_fn,
+                (repl(tparams_s, mesh8), repl(cvars_sess, mesh8),
+                 simg_in, scam_in),
+                mesh8, expect_mosaic=True)
+
+    cache_s, transform_s = jax.eval_shape(
+        session._start_fn, tparams_s, cvars_sess,
+        jax.ShapeDtypeStruct((B, T, 128, 128, 3), jnp.float32),
+        jax.ShapeDtypeStruct((B, T, 7), jnp.float32))
+
+    def cache_shard(l):
+        # k/v are [n_layer, B, H, F, L, dh]; 'n' is a replicated scalar
+        if l.ndim >= 2 and l.shape[1] == B:
+            spec = P(None, 'data')
+        elif l.ndim >= 1 and l.shape[0] == B:
+            spec = P('data')
+        else:
+            spec = P()
+        return jax.ShapeDtypeStruct(l.shape, l.dtype,
+                                    sharding=NamedSharding(mesh8, spec))
+
+    cache_in = jax.tree.map(cache_shard, cache_s)
+    transform_in = jax.ShapeDtypeStruct(transform_s.shape, transform_s.dtype,
+                                        sharding=data8)
+    qcams_in = jax.ShapeDtypeStruct((B, 1, 7), jnp.float32, sharding=data8)
+    compile_leg('serve_render_dp8', session._render_fn,
+                (repl(tparams_s, mesh8), repl(cvars_sess, mesh8),
+                 cache_in, transform_in, qcams_in),
+                mesh8, expect_mosaic=False)  # single-frame branch is dense
+
+    out = os.path.join(REPO, 'LOWERING_TPU_r04.json')
+    report['ok'] = True
+    with open(out, 'w') as f:
+        json.dump(report, f, indent=1)
+    print('wrote', out)
 
 
 def run():
