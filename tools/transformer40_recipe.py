@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Reference transformer recipe at global batch 40 on one chip, SUSTAINED
+(VERDICT r3 directive #3).
+
+The reference trains its stage-2 MIGT at global batch 40 over 8 A100s
+(ref README.md:227-244 — 5/GPU x 8, seq 20, fp16, 200k steps). This runs the
+same GLOBAL batch on a single v5e chip as ONE donated train step per
+optimizer update (B=40 direct — compiles with remat, the trainer default;
+the r3 repro matrix showed the no-remat B=40 grad crashes this backend's
+compiler, tools/repro_rng_backward_crash.py), at full reference model size
+(12L/768d/12H, seq 20, dropout 0.1, bf16 + remat, fused Pallas attention
+with in-kernel hash dropout), through the PRODUCTION trainer: CLI `train
+transformer` with --steps-per-call scanned dispatches, the real token input
+pipeline, and async checkpoint saves on the epoch cadence. Records sustained
+steps/s (== optimizer updates/s at B=40 direct) and sequences/s from the
+trainer's own metrics.jsonl timestamps — the same honest-number methodology
+as tools/codebook_352_demo.py (synthetic step loops underreport ~25x through
+the tunnel; see that module's docstring).
+
+Requires a generated TOKEN dataset + codebook job dir (the quality gate's
+workdir provides both). Run on the TPU host:
+    python tools/transformer40_recipe.py
+`--cpu --tiny` for a harness smoke test. Writes TRANSFORMER40_r04.json.
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--dataset', default='/tmp/quality_r04/codes',
+                    help='an existing TOKEN (code) dataset — the quality '
+                         'gate generates one')
+    ap.add_argument('--codebook-model', default='/tmp/quality_r04/codebook',
+                    help='codebook job dir (binds vocab + validation PSNR)')
+    ap.add_argument('--job-dir', default='/tmp/tr40_job')
+    ap.add_argument('--batch', type=int, default=40)
+    ap.add_argument('--total-steps', type=int, default=200)
+    ap.add_argument('--steps-per-call', type=int, default=20)
+    ap.add_argument('--epochs', type=int, default=4,
+                    help='epoch boundaries -> validation + async checkpoint '
+                         'saves on cadence (4 => every 50 steps)')
+    ap.add_argument('--cpu', action='store_true')
+    ap.add_argument('--tiny', action='store_true')
+    ap.add_argument('--out', default=os.path.join(REPO, 'TRANSFORMER40_r04.json'))
+    args = ap.parse_args()
+
+    env = dict(os.environ)
+    env['PYTHONPATH'] = REPO + os.pathsep + env.get('PYTHONPATH', '')
+
+    model_flags = []
+    if args.tiny:
+        model_flags = ['--d-model', '32', '--n-layer', '1', '--n-head', '2',
+                       '--sequence-size', '4', '--token-image-size', '2',
+                       '--n-loss-skip', '1']
+        args.batch, args.total_steps = 4, 8
+        args.steps_per_call, args.epochs = 4, 2
+
+    import glob
+    import shutil
+    for sub in ('last', 'best'):  # always a FRESH training run
+        shutil.rmtree(os.path.join(args.job_dir, sub), ignore_errors=True)
+    for f in (['metrics.jsonl', 'config.json', 'last_aux.json']
+              + [os.path.basename(p) for p in
+                 glob.glob(os.path.join(args.job_dir, 'aux-*.json'))]):
+        try:
+            os.remove(os.path.join(args.job_dir, f))
+        except OSError:
+            pass
+
+    ds, cb = args.dataset, args.codebook_model
+    if args.tiny:
+        # self-contained tiny fixture: colors -> tiny codebook -> codes
+        base = os.path.join(args.job_dir, 'fixture')
+        img, cb, ds = (os.path.join(base, d) for d in ('img', 'cb', 'codes'))
+
+        def cli(*a):
+            subprocess.run([sys.executable, '-m', 'viewformer_tpu',
+                            '--platform', 'cpu'] + list(a),
+                           env=env, cwd=REPO, check=True)
+        if not os.path.exists(os.path.join(ds, 'info.json')):
+            cli('dataset', 'generate', '--loader', 'colors',
+                '--loader-num-sequences', '8', '--loader-sequence-size', '8',
+                '--loader-image-size', '32',
+                '--output', os.path.join(img, 'colors'),
+                '--max-sequences-per-shard', '8',
+                '--split', 'train', '--split', 'test')
+            cli('train', 'codebook', '--dataset', img, '--job-dir', cb,
+                '--total-steps', '4', '--batch-size', '4', '--epochs', '1',
+                '--ch', '16', '--num-res-blocks', '1', '--n-embed', '16',
+                '--embed-dim', '4', '--image-size', '32',
+                '--perceptual-weight', '0')
+            cli('generate-codes', '--dataset', img, '--output', ds,
+                '--model', cb, '--batch-size', '16')
+    elif not (os.path.exists(os.path.join(ds, 'info.json'))
+              and os.path.exists(os.path.join(cb, 'config.json'))):
+        raise SystemExit(f'need a token dataset at {ds} and a codebook at '
+                         f'{cb}; run tools/quality_gate_colors.py first')
+
+    cmd = [sys.executable, '-m', 'viewformer_tpu']
+    if args.cpu:
+        cmd += ['--platform', 'cpu']
+    cmd += ['train', 'transformer', '--dataset', ds, '--codebook-model', cb,
+            '--job-dir', args.job_dir,
+            '--total-steps', str(args.total_steps),
+            '--batch-size', str(args.batch),
+            '--steps-per-call', str(args.steps_per_call),
+            '--epochs', str(args.epochs),
+            '--no-resume'] + model_flags
+    t0 = time.time()
+    proc = subprocess.run(cmd, env=env, cwd=REPO, text=True,
+                          capture_output=True, timeout=7200)
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        raise RuntimeError('train transformer failed:\n' + proc.stdout[-2000:]
+                           + proc.stderr[-4000:])
+
+    # sustained rate from consecutive TRAIN windows; epoch-boundary windows
+    # (validation + async checkpoint save) measured separately — same
+    # methodology as codebook_352_demo.py
+    entries = []
+    with open(os.path.join(args.job_dir, 'metrics.jsonl')) as f:
+        for line in f:
+            rec = json.loads(line)
+            if 'train/loss' in rec:
+                entries.append(('train', rec['step'], rec['time']))
+            elif 'val/loss' in rec:
+                entries.append(('val', rec['step'], rec['time']))
+    trains = [(s, t) for kind, s, t in entries if kind == 'train']
+    if len(trains) < 2:
+        trains.insert(0, (0, 0.0))  # tiny smoke: window includes compile
+    val_steps = {s for kind, s, t in entries if kind == 'val'}
+    clean, boundary = [], []
+    for (s0, t0_), (s1, t1_) in zip(trains[:-1], trains[1:]):
+        window = (s1 - s0, t1_ - t0_)
+        if any(s0 < v <= s1 or s0 <= v < s1 for v in val_steps):
+            boundary.append(window)
+        else:
+            clean.append(window)
+    if not clean:
+        clean = [(trains[-1][0] - trains[0][0], trains[-1][1] - trains[0][1])]
+    steps = sum(s for s, _ in clean)
+    secs = sum(t for _, t in clean)
+    steps_per_s = steps / secs
+    epoch_overhead = (sum(t for _, t in boundary)
+                      - sum(s for s, _ in boundary) / steps_per_s
+                      if boundary else 0.0)
+    losses = [None, None]
+    with open(os.path.join(args.job_dir, 'metrics.jsonl')) as f:
+        for line in f:
+            rec = json.loads(line)
+            if 'train/loss' in rec:
+                if losses[0] is None:
+                    losses[0] = rec['train/loss']
+                losses[1] = rec['train/loss']
+    report = {
+        'recipe': f'global batch {args.batch} as ONE donated step per '
+                  f'optimizer update (ref README.md:227-244: batch 40 = '
+                  f'5/GPU x 8 A100s), seq 20, dropout 0.1, remat, bf16',
+        'model': ('full-size MIGT 12L/768d/12H' if not args.tiny
+                  else 'tiny smoke config'),
+        'path': f'production trainer, --steps-per-call {args.steps_per_call}, '
+                f'real token pipeline, async checkpoint saves on the epoch '
+                f'cadence (every {args.total_steps // args.epochs} steps)',
+        'steps_measured': steps,
+        'sustained_steps_per_s': round(steps_per_s, 3),
+        'sustained_sequences_per_s': round(steps_per_s * args.batch, 1),
+        'optimizer_update_s': round(1.0 / steps_per_s, 3),
+        'epoch_boundary_overhead_s': round(epoch_overhead, 1),
+        'first_last_train_loss': losses,
+        'total_wall_s_incl_compile': round(wall, 1),
+    }
+    print(json.dumps(report, indent=1))
+    if not (args.tiny or args.cpu):
+        with open(args.out, 'w') as f:
+            json.dump(report, f, indent=1)
+        print('wrote', args.out)
+
+
+if __name__ == '__main__':
+    main()
