@@ -22,9 +22,21 @@ Phases
      steps, relaunch, run to completion.
   E. assert: resume restarts from the newest checkpoint, replays the exact
      data order (mid-epoch cursor), and every post-resume logged loss
-     matches the golden run at the same step; write SOAK_r03.json.
+     matches the golden run at the same step.
+  F. kill-MID-ASYNC-SAVE run (VERDICT r3 directive #6): a second kill/resume
+     cycle whose SIGKILL fires inside the async-save window — after
+     aux-<step>.json is written but before orbax commits last/<step> (the
+     background D2H fetch + file write are in flight; through the tunnel
+     that window is tens of seconds at full size). Asserts the crash can
+     never leave a half-written checkpoint that a resume would load: every
+     digit-named dir under last/ is a committed orbax step (uncommitted
+     saves only ever exist under tmp names), the resume run restores and
+     completes, and its post-resume losses match the golden curve. This is
+     the crash window of the repo's custom background-fetch concurrency
+     (train/checkpoint.py), not of orbax alone.
+  Writes SOAK_r04.json.
 
-Run on the TPU host: `python tools/soak_fullsize.py` (~15-30 min through
+Run on the TPU host: `python tools/soak_fullsize.py` (~20-40 min through
 the tunnel, compiles included). `--quick` shrinks models/steps for a CPU
 smoke test of the harness itself.
 """
@@ -134,15 +146,36 @@ def _committed_steps(job_dir):
     return sorted(int(d) for d in os.listdir(last_dir) if d.isdigit())
 
 
-def _poll_run(proc, metrics_path, kill_at=None, timeout=3600):
+def _aux_steps(job_dir):
+    import re
+    return sorted(int(m.group(1)) for f in os.listdir(job_dir)
+                  for m in [re.fullmatch(r'aux-(\d+)\.json', f)] if m)
+
+
+def _save_in_flight(job_dir):
+    """True when an async save is between its aux write (synchronous, at
+    save() entry) and its orbax commit (background fetch + file write) —
+    i.e. an aux-<step>.json exists for a step newer than the newest
+    committed checkpoint."""
+    committed = _committed_steps(job_dir)
+    if not committed:
+        return False
+    return any(s > committed[-1] for s in _aux_steps(job_dir))
+
+
+def _poll_run(proc, metrics_path, kill_at=None, timeout=3600,
+              kill_mid_save=False):
     """Wait on a training subprocess while timestamping each new train-log
     step from metrics.jsonl. Returns (timeline {step: wallclock}, killed).
 
-    The kill only fires once BOTH the log shows >= kill_at steps AND at
-    least one checkpoint has committed — with truly-async saves the D2H
-    fetch lags training by up to ~1 epoch on slow-transfer hosts, and a
-    kill before any commit would (safely, but uselessly for this test)
-    restart from scratch."""
+    kill_at: SIGKILL once BOTH the log shows >= kill_at steps AND at least
+    one checkpoint has committed — with truly-async saves the D2H fetch lags
+    training by up to ~1 epoch on slow-transfer hosts, and a kill before any
+    commit would (safely, but uselessly for this test) restart from scratch.
+
+    kill_mid_save: SIGKILL the moment a save is observed IN FLIGHT (aux
+    written, commit pending) with at least one older commit on disk — the
+    crash window of the background-fetch checkpoint path."""
     timeline = {}
     killed = False
     t_start = time.time()
@@ -162,16 +195,22 @@ def _poll_run(proc, metrics_path, kill_at=None, timeout=3600):
                         continue
                     if _train_loss(rec) is not None:
                         timeline.setdefault(int(rec['step']), time.time())
-        if kill_at is not None and not killed and any(
-                s >= kill_at for s in timeline) and _committed_steps(job_dir):
-            proc.send_signal(signal.SIGKILL)
-            killed = True
+        if not killed:
+            if kill_mid_save and _save_in_flight(job_dir):
+                proc.send_signal(signal.SIGKILL)
+                killed = True
+            elif kill_at is not None and any(
+                    s >= kill_at for s in timeline) and _committed_steps(job_dir):
+                proc.send_signal(signal.SIGKILL)
+                killed = True
         if proc.poll() is not None:
             break
         if time.time() - t_start > timeout:
             proc.kill()
             raise RuntimeError(f'soak run timed out after {timeout}s')
-        time.sleep(0.5)
+        # the mid-save window can be sub-second on fast hosts (CPU quick
+        # mode) — poll tightly while hunting it
+        time.sleep(0.05 if (kill_mid_save and not killed) else 0.5)
     return timeline, killed
 
 
@@ -219,7 +258,7 @@ def _sustained_from_log(job_dir):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--workdir', default='/tmp/soak_r03')
+    ap.add_argument('--workdir', default='/tmp/soak_r04')
     ap.add_argument('--steps', type=int, default=240)
     ap.add_argument('--codebook-steps', type=int, default=120)
     ap.add_argument('--quick', action='store_true',
@@ -227,7 +266,7 @@ def main():
     ap.add_argument('--reuse', action='store_true',
                     help='skip codebook/golden phases whose completed '
                          'metrics already exist in the workdir')
-    ap.add_argument('--out', default=os.path.join(REPO, 'SOAK_r03.json'))
+    ap.add_argument('--out', default=os.path.join(REPO, 'SOAK_r04.json'))
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -401,6 +440,65 @@ def main():
     # exact data resume + step-folded rng => the trajectory is the same
     # computation; tolerance covers bf16 accumulation jitter only
     assert worst < 5e-3, deltas
+
+    # --- F. kill MID-ASYNC-SAVE / crash-consistency run ---
+    print('== kill mid-async-save / resume run ==', flush=True)
+    ms_job = os.path.join(args.workdir, 'job_midsave')
+    os.makedirs(ms_job, exist_ok=True)
+    ms_log = open(os.path.join(ms_job, 'worker.log'), 'a')
+    proc = subprocess.Popen([sys.executable, '-c', script, data, ms_job],
+                            env=env, stdout=ms_log, stderr=subprocess.STDOUT)
+    _, killed = _poll_run(proc, os.path.join(ms_job, 'metrics.jsonl'),
+                          kill_mid_save=True)
+    if not killed:
+        # every save committed before the 50ms poll saw it in flight — only
+        # plausible on a fast local disk with a tiny state; the window is
+        # tens of seconds at full size through the tunnel
+        assert args.quick, 'mid-save window never observed at full size'
+        print('   (window not observed in quick mode; phase skipped)',
+              flush=True)
+        report['midsave_kill'] = {'window_observed': False}
+    else:
+        assert proc.returncode != 0
+        # crash consistency: digit-named dirs under last/ are exactly the
+        # COMMITTED orbax steps (an interrupted save only ever exists under
+        # a tmp name — orbax renames on commit); a half-written digit dir
+        # would be loaded by the resume below and is the failure this phase
+        # exists to catch
+        last_dir = os.path.join(ms_job, 'last')
+        entries = os.listdir(last_dir)
+        committed = sorted(int(d) for d in entries if d.isdigit())
+        tmp_entries = [d for d in entries if not d.isdigit()]
+        assert committed, entries
+        in_flight = [s for s in _aux_steps(ms_job) if s > committed[-1]]
+        report['midsave_kill'] = {
+            'window_observed': True,
+            'committed_steps_at_kill': committed,
+            'save_in_flight_for_step': in_flight,
+            'uncommitted_tmp_entries': tmp_entries,
+        }
+        print(json.dumps(report['midsave_kill']), flush=True)
+
+        proc = subprocess.Popen([sys.executable, '-c', script, data, ms_job],
+                                env=env, stdout=ms_log,
+                                stderr=subprocess.STDOUT)
+        _poll_run(proc, os.path.join(ms_job, 'metrics.jsonl'))
+        assert proc.returncode == 0, (
+            'mid-save resume run failed rc=%s:\n%s' % (
+                proc.returncode,
+                open(os.path.join(ms_job, 'worker.log')).read()[-3000:]))
+        ms_resumed = _read_losses(ms_job)
+        ms_post = [s for s in sorted(ms_resumed)
+                   if s > committed[-1] and s in gold]
+        assert ms_post, (sorted(ms_resumed), committed[-1])
+        ms_worst = max(abs(ms_resumed[s] - gold[s]) / max(abs(gold[s]), 1e-9)
+                       for s in ms_post)
+        report['midsave_kill']['post_resume_steps_compared'] = len(ms_post)
+        report['midsave_kill']['worst_rel_loss_delta'] = round(ms_worst, 6)
+        print(json.dumps({'midsave_worst_rel_loss_delta': ms_worst}),
+              flush=True)
+        assert ms_worst < 5e-3
+    ms_log.close()
 
     report['ok'] = True
     with open(args.out, 'w') as f:
