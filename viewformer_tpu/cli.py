@@ -191,12 +191,22 @@ def _config_from_options(config_cls, options):
 @click.option('--steps-per-call', type=int, default=1,
               help='scan k train steps inside one jitted call')
 @click.option('--log-every', type=int, default=50)
+@click.option('--checkpoint-every', type=int, default=None,
+              help='extra mid-epoch rolling-last saves every N steps (epoch '
+                   'boundaries always save). Saves are ASYNC with '
+                   'rolling-last coalescing: queued-but-unstarted saves are '
+                   'dropped for the newest, <=2 device snapshots ever live, '
+                   'and the committed checkpoint lags the loop by at most '
+                   'state_bytes/D2H_bandwidth of wall time — so max '
+                   'work-at-risk ~= N + lag/step_time steps. Pick N >= '
+                   'state_bytes/D2H_bw/step_time to commit every cadence '
+                   'point (see README Checkpointing for measured numbers).')
 @click.option('--fp32', is_flag=True, help='disable bf16 compute')
 @click.option('--wandb', is_flag=True)
 @click.option('--resume/--no-resume', default=True)
 def train_codebook_cmd(dataset_path, job_dir, total_steps, epochs, batch_size,
                        accumulate_grad_batches, steps_per_call, log_every,
-                       fp32, wandb, resume, **config_options):
+                       checkpoint_every, fp32, wandb, resume, **config_options):
     """Train the VQ-GAN codebook (stage 1)."""
     from .config import VQGANConfig
     from .train.codebook import train_codebook
@@ -209,6 +219,7 @@ def train_codebook_cmd(dataset_path, job_dir, total_steps, epochs, batch_size,
                    epochs=epochs, batch_size=config.batch_size,
                    accumulate_grad_batches=accumulate_grad_batches,
                    steps_per_call=steps_per_call, log_every=log_every,
+                   checkpoint_every=checkpoint_every,
                    resume=resume, use_bf16=not fp32, wandb=wandb)
 
 
@@ -240,12 +251,18 @@ def train_codebook_cmd(dataset_path, job_dir, total_steps, epochs, batch_size,
 @click.option('--seq-parallelism', type=int, default=1,
               help='context parallelism: shard the residual streams\' frame '
                    'axis over this many devices (mesh gains a seq axis)')
+@click.option('--checkpoint-every', type=int, default=None,
+              help='extra mid-epoch rolling-last saves every N steps; async '
+                   'with rolling-last coalescing — see `train codebook '
+                   '--help` and README Checkpointing for the commit-lag '
+                   'contract and the cadence guidance formula')
 @click.option('--fp32', is_flag=True)
 @click.option('--wandb', is_flag=True)
 @click.option('--resume/--no-resume', default=True)
 def train_transformer_cmd(dataset_path, codebook_model, job_dir, total_steps, epochs,
                           batch_size, max_samples_per_environment, steps_per_call,
-                          seq_parallelism, fp32, wandb, resume, **config_options):
+                          seq_parallelism, checkpoint_every, fp32, wandb, resume,
+                          **config_options):
     """Train the MIGT transformer (stage 2)."""
     from .config import MIGTConfig, load_config
     from .train.transformer import train_transformer
@@ -261,7 +278,8 @@ def train_transformer_cmd(dataset_path, codebook_model, job_dir, total_steps, ep
                       batch_size=config.batch_size, resume=resume,
                       use_bf16=not fp32, wandb=wandb, steps_per_call=steps_per_call,
                       max_samples_per_environment=max_samples_per_environment,
-                      seq_parallelism=seq_parallelism)
+                      seq_parallelism=seq_parallelism,
+                      checkpoint_every=checkpoint_every)
 
 
 @train.command('finetune-transformer')

@@ -170,8 +170,20 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
                    accumulate_grad_batches=1, resume=True, seed=42,
                    use_bf16=True, wandb=False, log_every=50,
                    num_val_batches=8, mesh=None, progress=True,
-                   profile_batch=50, remat=True, steps_per_call=1):
-    """Full training loop (CLI entry `train codebook`)."""
+                   profile_batch=50, remat=True, steps_per_call=1,
+                   checkpoint_every=None):
+    """Full training loop (CLI entry `train codebook`).
+
+    checkpoint_every: additional mid-epoch rolling-last saves every N steps
+    (epoch boundaries always save). Saves are async (device snapshot +
+    background D2H) with ROLLING-LAST COALESCING: when the host's D2H is
+    slower than the cadence, queued-but-unstarted saves are dropped in
+    favor of the newest — at most 2 device-side snapshots are ever alive,
+    and the committed checkpoint lags the train loop by at most
+    (state_bytes / D2H_bandwidth) seconds of work. Pick
+    checkpoint_every >= state_bytes / D2H_bw / step_time to keep every
+    cadence point committed; any smaller value is safe but coalesces
+    (see README 'Checkpointing' for the measured numbers)."""
     from ..data.pipeline import load_image_dataset
     from ..models.lpips import load_lpips
     from .checkpoint import CheckpointManager
@@ -232,6 +244,7 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
                                     buffer_size=max(2, steps_per_call))
     train_iter = iter(train_data)
     step = start_step
+    last_save = start_step  # newest save DISPATCHED (commit may lag; async)
     with mesh:
         while step < total_steps:
             epoch_end = min(step + steps_per_epoch, total_steps)
@@ -264,6 +277,12 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
                         m = jax.device_get(metrics)
                         print(f'step {step}/{total_steps} '
                               + ' '.join(f'{k}={float(v):.4f}' for k, v in m.items()))
+                if (checkpoint_every and step < total_steps
+                        and step - last_save >= checkpoint_every):
+                    ckpt.save(step, state,
+                              aux=({'data_iterator': train_data.state}
+                                   if train_data.state is not None else None))
+                    last_save = step
             # validation at epoch end
             val_metrics = {}
             val_data = load_image_dataset(dataset_path, batch_size, config.image_size,
@@ -292,6 +311,7 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
             ckpt.save(step, state, val_loss=val_metrics.get('total_loss'),
                       aux=({'data_iterator': train_data.state}
                            if train_data.state is not None else None))
+            last_save = step
     train_data.close()
     ckpt.close()
     logger.close()

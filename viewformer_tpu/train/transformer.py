@@ -247,12 +247,17 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
                       seed=42, use_bf16=True, wandb=False, log_every=50,
                       max_samples_per_environment=-1, mesh=None, progress=True,
                       profile_batch=50, steps_per_call=1, dropout_impl='rng',
-                      remat=True, seq_parallelism=1):
+                      remat=True, seq_parallelism=1, checkpoint_every=None):
     """Full training loop (CLI `train transformer` / `train finetune-transformer`).
 
     finetune_from: a job dir whose best/last checkpoint seeds the params while
     the optimizer restarts fresh — the step counter carries over so schedules
     continue, matching ref finetune_transformer.py:78-87.
+
+    checkpoint_every: additional mid-epoch rolling-last saves every N steps
+    (epoch boundaries always save). Saves are async with rolling-last
+    coalescing — see train_codebook's docstring and README 'Checkpointing'
+    for the commit-lag contract and the cadence guidance formula.
 
     seq_parallelism > 1 enables context parallelism: the mesh gains a 'seq'
     axis of that size and the model shards its residual streams' frame axis
@@ -343,6 +348,7 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
     steps_per_epoch = max(1, total_steps // epochs)
     validation_steps = max(1, min(steps_per_epoch // 10, 100))
     step = start_step
+    last_save = start_step  # newest save DISPATCHED (commit may lag; async)
     with mesh:
         while step < total_steps:
             epoch_end = min(step + steps_per_epoch, total_steps)
@@ -370,6 +376,12 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
                     if progress:
                         print(f'step {step}/{total_steps} '
                               + ' '.join(f'{k}={float(v):.4f}' for k, v in m.items()))
+                if (checkpoint_every and step < total_steps
+                        and step - last_save >= checkpoint_every):
+                    ckpt.save(step, state,
+                              aux=({'data_iterator': train_data.state}
+                                   if train_data.state is not None else None))
+                    last_save = step
             # validation
             val_data = load_token_dataset(
                 dataset_path, batch_size, config.sequence_size, config.token_image_size,
@@ -397,6 +409,7 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
             ckpt.save(step, state, val_loss=val_metrics.get('loss'),
                       aux=({'data_iterator': train_data.state}
                            if train_data.state is not None else None))
+            last_save = step
     train_data.close()
     ckpt.close()
     logger.close()
