@@ -93,7 +93,7 @@ def main():
                 '--split', 'train', '--split', 'test')
             cli('train', 'codebook', '--dataset', img, '--job-dir', cb,
                 '--total-steps', '4', '--batch-size', '4', '--epochs', '1',
-                '--ch', '16', '--num-res-blocks', '1', '--n-embed', '16',
+                '--ch', '32', '--num-res-blocks', '1', '--n-embed', '16',
                 '--embed-dim', '4', '--image-size', '32',
                 '--perceptual-weight', '0')
             cli('generate-codes', '--dataset', img, '--output', ds,
