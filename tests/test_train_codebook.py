@@ -154,3 +154,43 @@ def test_train_step_uint8_equals_f32():
         np.testing.assert_allclose(np.asarray(ma['total_loss']),
                                    np.asarray(mb['total_loss']),
                                    rtol=1e-5, atol=1e-6, err_msg=f'step {i}')
+
+
+@pytest.mark.slow
+def test_train_log_cadence_survives_epoch_drift(tmp_path):
+    """Train-metric logging must keep firing when the step counter drifts off
+    the modulo grid: the reference-faithful epoch length 1+N//epochs (ref
+    train_codebook_th.py limit_train_batches) plus scanned multi-step calls
+    left step = 1 (mod steps_per_call) after epoch 1, and a `step %
+    log_every == 0` cadence then starved train logs for the rest of the run
+    (observed: 9 epochs without a train entry, 2026-08-18). The cadence is
+    interval-based now; assert no gap between consecutive train entries
+    exceeds log_every + steps_per_call."""
+    import json
+    import os
+
+    loader = build('colors', split='train', num_sequences=4, sequence_size=4,
+                   image_size=16)
+    generate_dataset_from_loader(loader, 'train', str(tmp_path / 'ds' / 'colors'),
+                                 max_sequences_per_shard=2, progress=False)
+    loader = build('colors', split='test', num_sequences=2, sequence_size=4,
+                   image_size=16)
+    generate_dataset_from_loader(loader, 'test', str(tmp_path / 'ds' / 'colors'),
+                                 max_sequences_per_shard=2, progress=False)
+
+    import dataclasses
+    cfg = dataclasses.replace(TINY, total_steps=40, batch_size=4)
+    job_dir = str(tmp_path / 'job')
+    # epochs=3 -> steps_per_epoch = 1 + 40//3 = 14: off the modulo grid
+    train_codebook(cfg, str(tmp_path / 'ds'), job_dir, epochs=3,
+                   use_bf16=False, progress=False, num_val_batches=1,
+                   steps_per_call=5, log_every=10)
+    steps = []
+    with open(os.path.join(job_dir, 'metrics.jsonl')) as f:
+        for line in f:
+            rec = json.loads(line)
+            if any(k.startswith('train/') for k in rec):
+                steps.append(rec['step'])
+    assert steps[-1] == 40
+    gaps = [b - a for a, b in zip(steps, steps[1:])]
+    assert steps[0] <= 15 and all(g <= 15 for g in gaps), (steps, gaps)

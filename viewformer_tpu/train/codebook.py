@@ -245,6 +245,7 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
     train_iter = iter(train_data)
     step = start_step
     last_save = start_step  # newest save DISPATCHED (commit may lag; async)
+    last_log = start_step
     with mesh:
         while step < total_steps:
             epoch_end = min(step + steps_per_epoch, total_steps)
@@ -271,7 +272,12 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
                     if profile_batch and step == profile_batch + 1:
                         jax.tree.map(lambda x: x.block_until_ready(), metrics)
                         jax.profiler.stop_trace()
-                if step % log_every == 0 or step == total_steps:
+                if step - last_log >= log_every or step == total_steps:
+                    # interval (not modulo) cadence: the reference-faithful
+                    # 1+N//epochs epoch length (ref train_codebook_th.py
+                    # limit_train_batches) drifts step off the modulo grid,
+                    # which starved train logs after epoch 1 with scan calls
+                    last_log = step
                     logger.log(step, jax.device_get(metrics))
                     if progress:
                         m = jax.device_get(metrics)

@@ -349,6 +349,7 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
     validation_steps = max(1, min(steps_per_epoch // 10, 100))
     step = start_step
     last_save = start_step  # newest save DISPATCHED (commit may lag; async)
+    last_log = start_step
     with mesh:
         while step < total_steps:
             epoch_end = min(step + steps_per_epoch, total_steps)
@@ -370,7 +371,10 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
                     if profile_batch and step == profile_batch + 1:
                         jax.tree.map(lambda x: x.block_until_ready(), metrics)
                         jax.profiler.stop_trace()
-                if step % log_every == 0 or step == total_steps:
+                if step - last_log >= log_every or step == total_steps:
+                    # interval (not modulo) cadence: scanned multi-step calls
+                    # and odd epoch lengths leave step off the modulo grid
+                    last_log = step
                     m = jax.device_get(metrics)
                     logger.log(step, m)
                     if progress:
