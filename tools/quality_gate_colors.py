@@ -99,8 +99,15 @@ def main():
         image_size, n_seq, seq_len = 128, 200, 20
         cb_steps, tr_steps = args.codebook_steps, args.transformer_steps
         # full-size VQ-GAN defaults (ch=128, n_embed=1024); perceptual 0
-        # because LPIPS weights are env-blocked (PARITY_RUNBOOK.md §2)
+        # because LPIPS weights are env-blocked (PARITY_RUNBOOK.md §2).
+        # lr scaled to the batch this gate actually uses: the reference's
+        # 1.584e-3 is 4.5e-6/image x batch 352 (the taming-transformers
+        # base_lr*batch rule); at batch 32 that rule gives 1.44e-4. Running
+        # batch 32 at the batch-352 lr made training chaotic — val PSNR
+        # swung 13.9->12.1->13.6 across 600-step windows in the 2026-08-18
+        # run while round 3 got a lucky 17.5 trajectory from the same config.
         cb_extra = ['--batch-size', '32', '--epochs', '10',
+                    '--learning-rate', '1.44e-4',
                     '--steps-per-call', '10', '--perceptual-weight', '0']
         # full-size MIGT defaults (12L/768d); batch 10 compute-bound on one
         # chip (tools/train_step_sweep.py); lr raised for the short horizon
@@ -126,17 +133,25 @@ def main():
                  '--split', 'train', '--split', 'test'],
                 env, platform='cpu', log=log)
 
+    # FRESH training runs: a stale job dir silently resumes (the trainers'
+    # resume-by-default is right for production, wrong for a gate — the
+    # 2026-08-18 rerun resumed its 6k-step codebook from a previous 2k-step
+    # attempt's checkpoint instead of training from scratch)
+    import shutil
     cb_job = os.path.join(wd, 'codebook')
+    shutil.rmtree(cb_job, ignore_errors=True)
     run_cli(['train', 'codebook', '--dataset', ds, '--job-dir', cb_job,
              '--total-steps', str(cb_steps)] + cb_extra,
             env, platform=platform, log=log)
 
     codes = os.path.join(wd, 'codes')
+    shutil.rmtree(codes, ignore_errors=True)
     run_cli(['generate-codes', '--dataset', ds, '--output', codes,
              '--model', cb_job, '--batch-size', '64'],
             env, platform=platform, log=log)
 
     tr_job = os.path.join(wd, 'transformer')
+    shutil.rmtree(tr_job, ignore_errors=True)
     run_cli(['train', 'transformer', '--dataset', codes,
              '--codebook-model', cb_job, '--job-dir', tr_job,
              '--total-steps', str(tr_steps)] + tr_extra,
