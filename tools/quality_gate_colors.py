@@ -6,26 +6,26 @@ sizes on the hermetic colors fixture — dataset generate -> train codebook
 (6k steps) -> generate-codes -> train transformer (4k steps) -> evaluate
 transformer — and gates on end-to-end QUALITY, not just "it trains":
 
-    psnr      >= --min-psnr   (default 17.0 — ratcheted from 15 after the
-                               round-3 run measured 18.17)
-    loc-angle <= --max-ori    (default 0.025 rad — measured 0.013)
+    psnr      >= --min-psnr   (default 22.0 — ratcheted after the lr-scaled
+                               2026-08-18 run measured 26.14; the old 17.0
+                               was calibrated on the off-recipe-lr protocol)
+    loc-angle <= --max-ori    (default 0.02 rad — measured 0.0154)
 
 The step defaults (6k/4k) are the configuration the thresholds were
-calibrated against (the round-3 passing run). A 2k/2k run measured only
-12.1 dB (2026-08-18): the codebook itself caps at ~11.8 dB reconstruction
-PSNR that early, so shorter-horizon runs fail the gate by under-training,
-not by regression — keep steps and thresholds in lockstep when changing
-either. Per-window device rates in that failed run were healthy (13
-codebook steps/s = 416 img/s at B=32, 1.80 transformer steps/s at B=10).
+calibrated against. A 2k/2k run measured only 12.1 dB (2026-08-18): the
+codebook caps everything downstream that early, so shorter-horizon runs
+fail the gate by under-training, not by regression — keep steps and
+thresholds in lockstep when changing either.
 
-plus the paper's signature behavioral property: PSNR must (weakly) increase
-with context size. One `evaluate transformer-multictx` pass produces the
+plus the paper's signature behavioral property: PSNR must increase with
+context size. One `evaluate transformer-multictx` pass produces the
 per-context-size table (the branch streams evaluate every context size in
-a single forward — ref evaluate_transformer_multictx.py:13-34,125-138),
-and the gate asserts PSNR(ctx k+1) >= PSNR(ctx k) - --mono-slack for every
-adjacent pair AND PSNR(ctx max) > PSNR(ctx 1). This is a sharp end-to-end
-check of the branching-attention masks: a mask bug that leaks future
-frames or drops context shows up as a flat or inverted curve.
+a single forward — ref evaluate_transformer_multictx.py:13-34,125-138).
+The gate asserts (a) no adjacent pair dips more than --mono-slack (screens
+inversions; pairs carry ~+-0.4 dB noise at 24 eval sequences) and (b)
+PSNR(ctx max) - PSNR(ctx 1) >= --min-ctx-gain (the sharp signal: measured
++7.2 dB; a branching-attention mask bug that leaks future frames or drops
+context flattens the curve to ~0 gain).
 
 This is the only end-to-end *accuracy* evidence obtainable offline (round 1
 measured PSNR 12.4->13.4 and ori 0.18->0.08 in just 400 steps at smaller
@@ -70,14 +70,37 @@ def main():
     ap.add_argument('--workdir', default='/tmp/quality_r04')
     ap.add_argument('--codebook-steps', type=int, default=6000)
     ap.add_argument('--transformer-steps', type=int, default=4000)
-    ap.add_argument('--min-psnr', type=float, default=17.0)
-    ap.add_argument('--max-ori', type=float, default=0.025)
-    ap.add_argument('--mono-slack', type=float, default=0.25,
+    ap.add_argument('--min-psnr', type=float, default=22.0,
+                    help='ratcheted to 22 after the lr-scaled 2026-08-18 run '
+                         'measured 26.1 (was 17, calibrated on the old '
+                         'off-recipe-lr protocol that measured 18.2)')
+    ap.add_argument('--max-ori', type=float, default=0.02)
+    ap.add_argument('--mono-slack', type=float, default=0.75,
                     help='allowed per-pair PSNR dip (dB) in the context-size '
-                         'monotonicity check (finite-sample noise headroom)')
+                         'check; adjacent pairs carry ~+-0.4 dB noise at 24 '
+                         'eval sequences (measured), so this only screens '
+                         'inversions — min-ctx-gain carries the real signal')
+    ap.add_argument('--min-ctx-gain', type=float, default=2.0,
+                    help='required PSNR(ctx max) - PSNR(ctx 1) rise in dB '
+                         '(measured: 7.2; a branch-mask bug gives ~0)')
+    ap.add_argument('--regate', metavar='REPORT.json',
+                    help='recompute the gate verdict from an existing report '
+                         '(threshold iteration without re-running ~80 min of '
+                         'training) and rewrite --out')
     ap.add_argument('--quick', action='store_true')
     ap.add_argument('--out', default=os.path.join(REPO, 'QUALITY_r04.json'))
     args = ap.parse_args()
+
+    if args.regate:
+        with open(args.regate) as f:
+            report = json.load(f)
+        ok = _apply_gate(report, report['transformer_eval'],
+                         report['codebook_eval'], report['multictx_eval'], args)
+        with open(args.out, 'w') as f:
+            json.dump(report, f, indent=1)
+        print('wrote', args.out, flush=True)
+        print('QUALITY GATE ' + ('PASSED' if ok else 'FAILED'), flush=True)
+        sys.exit(0 if ok else 1)
 
     wd = args.workdir
     os.makedirs(wd, exist_ok=True)
@@ -195,35 +218,50 @@ def main():
     report['codebook_eval'] = cb_results
     report['multictx_eval'] = mc_results
 
-    psnr_by_ctx = {ctx: m.get('psnr') for ctx, m in mc_results.items()}
-    curve = [psnr_by_ctx[k] for k in sorted(psnr_by_ctx)]
-    mono_ok = (len(curve) >= 2 and all(v is not None for v in curve)
-               and all(curve[i + 1] >= curve[i] - args.mono_slack
-                       for i in range(len(curve) - 1))
-               and curve[-1] > curve[0])
-    report['gate'] = {'min_psnr': args.min_psnr, 'max_ori': args.max_ori,
-                      'mono_slack': args.mono_slack,
-                      'psnr': results.get('psnr'),
-                      'loc_angle': results.get('loc-angle'),
-                      'psnr_by_context': psnr_by_ctx,
-                      'psnr_monotone_in_context': bool(mono_ok)}
-    print(json.dumps(report['gate']), flush=True)
+    _apply_gate(report, results, cb_results, mc_results, args)
 
     if not args.quick:
-        ok = (results['psnr'] >= args.min_psnr
-              and results['loc-angle'] <= args.max_ori
-              and mono_ok)
-        report['ok'] = bool(ok)
         with open(args.out, 'w') as f:
             json.dump(report, f, indent=1)
         print('wrote', args.out, flush=True)
-        if not ok:
+        if not report['ok']:
             print('QUALITY GATE FAILED', flush=True)
             sys.exit(1)
         print('QUALITY GATE PASSED', flush=True)
     else:
         report['ok'] = None  # quick mode checks the harness, not quality
         print(json.dumps({'quick_psnr': results.get('psnr')}), flush=True)
+
+
+def _apply_gate(report, results, cb_results, mc_results, args):
+    psnr_by_ctx = {ctx: m.get('psnr') for ctx, m in mc_results.items()}
+    curve = [psnr_by_ctx[k] for k in sorted(psnr_by_ctx)]
+    # Context-size check, calibrated on the 2026-08-18 measured curve
+    # (18.9 -> 26.1 dB over ctx 1..19 at 24 eval sequences): adjacent pairs
+    # carry ~+-0.4 dB finite-sample noise, so the per-pair slack only
+    # screens catastrophic inversions; the sharp signal is the OVERALL rise
+    # (min_ctx_gain) — a branch-mask bug that leaks future frames or drops
+    # context flattens the curve to ~0 gain, it does not produce a +2 dB
+    # rise with one noisy dip.
+    mono_ok = (len(curve) >= 2 and all(v is not None for v in curve)
+               and all(curve[i + 1] >= curve[i] - args.mono_slack
+                       for i in range(len(curve) - 1))
+               and curve[-1] - curve[0] >= args.min_ctx_gain)
+    report['gate'] = {'min_psnr': args.min_psnr, 'max_ori': args.max_ori,
+                      'mono_slack': args.mono_slack,
+                      'min_ctx_gain': args.min_ctx_gain,
+                      'psnr': results.get('psnr'),
+                      'loc_angle': results.get('loc-angle'),
+                      'psnr_by_context': psnr_by_ctx,
+                      'ctx_gain': (round(curve[-1] - curve[0], 3)
+                                   if curve and None not in (curve[0], curve[-1])
+                                   else None),
+                      'psnr_monotone_in_context': bool(mono_ok)}
+    print(json.dumps(report['gate']), flush=True)
+    report['ok'] = bool(results['psnr'] >= args.min_psnr
+                        and results['loc-angle'] <= args.max_ori
+                        and mono_ok)
+    return report['ok']
 
 
 if __name__ == '__main__':
