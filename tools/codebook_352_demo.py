@@ -21,7 +21,7 @@ on the logging cadence) is both the production path and the honest number.
 
 Run on the TPU host: `python tools/codebook_352_demo.py` (needs a generated
 colors dataset, see --dataset; ~6 min). `--cpu --tiny` for a harness smoke
-test. Writes CODEBOOK352_r03.json.
+test. Writes CODEBOOK352_r04.json (r3 artifact kept for history).
 """
 import argparse
 import json
@@ -47,7 +47,7 @@ def main():
                     help='micro steps per scanned dispatch (40 = 5 updates)')
     ap.add_argument('--cpu', action='store_true')
     ap.add_argument('--tiny', action='store_true')
-    ap.add_argument('--out', default=os.path.join(REPO, 'CODEBOOK352_r03.json'))
+    ap.add_argument('--out', default=os.path.join(REPO, 'CODEBOOK352_r04.json'))
     args = ap.parse_args()
 
     env = dict(os.environ)
