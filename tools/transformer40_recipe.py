@@ -43,9 +43,18 @@ def main():
     ap.add_argument('--batch', type=int, default=40)
     ap.add_argument('--total-steps', type=int, default=200)
     ap.add_argument('--steps-per-call', type=int, default=20)
-    ap.add_argument('--epochs', type=int, default=4,
+    ap.add_argument('--epochs', type=int, default=1,
                     help='epoch boundaries -> validation + async checkpoint '
-                         'saves on cadence (4 => every 50 steps)')
+                         'saves. Default 1: with boundaries every 50 steps '
+                         '(the original --epochs 4) EVERY logging window '
+                         'contained a validation pass, so the sustained '
+                         'number averaged them in (the 0.278 of the first '
+                         'r04 measurement); one epoch + --checkpoint-every '
+                         'measures clean training windows with the async '
+                         'saves still on cadence')
+    ap.add_argument('--checkpoint-every', type=int, default=50,
+                    help='mid-epoch async rolling-last saves every N steps '
+                         '(0 disables)')
     ap.add_argument('--cpu', action='store_true')
     ap.add_argument('--tiny', action='store_true')
     ap.add_argument('--out', default=os.path.join(REPO, 'TRANSFORMER40_r04.json'))
@@ -113,6 +122,8 @@ def main():
             '--steps-per-call', str(args.steps_per_call),
             '--epochs', str(args.epochs),
             '--no-resume'] + model_flags
+    if args.checkpoint_every:
+        cmd += ['--checkpoint-every', str(args.checkpoint_every)]
     t0 = time.time()
     proc = subprocess.run(cmd, env=env, cwd=REPO, text=True,
                           capture_output=True, timeout=7200)
@@ -166,8 +177,9 @@ def main():
         'model': ('full-size MIGT 12L/768d/12H' if not args.tiny
                   else 'tiny smoke config'),
         'path': f'production trainer, --steps-per-call {args.steps_per_call}, '
-                f'real token pipeline, async checkpoint saves on the epoch '
-                f'cadence (every {args.total_steps // args.epochs} steps)',
+                f'real token pipeline, async checkpoint saves every '
+                f'{args.checkpoint_every or args.total_steps // args.epochs} '
+                f'steps ({args.epochs} validation pass(es))',
         'steps_measured': steps,
         'sustained_steps_per_s': round(steps_per_s, 3),
         'sustained_sequences_per_s': round(steps_per_s * args.batch, 1),
