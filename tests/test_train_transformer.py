@@ -137,3 +137,24 @@ def test_train_transformer_end_to_end(tmp_path):
                                finetune_from=str(tmp_path / 'job'),
                                epochs=2, use_bf16=False, progress=False)
     assert int(state2.step) == 6
+
+
+def test_clamp_steps_per_call_guards_backend_killer(capsys):
+    """Full-size-class configs must not launch >20-wide scanned dispatches:
+    --steps-per-call 40 at 12L/768d crashed the TPU worker before the first
+    step (tools/backend_crash_history.jsonl, 2026-08-18)."""
+    from viewformer_tpu.train.transformer import (
+        MAX_SAFE_STEPS_PER_CALL_FULLSIZE, clamp_steps_per_call)
+
+    full = MIGTConfig(n_layer=12, d_model=768, n_head=12)
+    # full size: clamped with a warning
+    assert clamp_steps_per_call(40, full) == MAX_SAFE_STEPS_PER_CALL_FULLSIZE
+    assert 'backend_crash_history' in capsys.readouterr().err
+    # at or under the limit: untouched
+    assert clamp_steps_per_call(20, full) == 20
+    assert clamp_steps_per_call(1, full) == 1
+    # explicit override keeps the requested width (still warns)
+    assert clamp_steps_per_call(40, full, force=True) == 40
+    assert 'force-wide-scan' in capsys.readouterr().err
+    # tiny/debug configs are never clamped
+    assert clamp_steps_per_call(64, TINY) == 64

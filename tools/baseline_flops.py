@@ -89,6 +89,43 @@ def main():
             generate_frame(transformer, tvars['params'], cache, pose), -1)
         return codebook.apply(cvars, codes, method=type(codebook).decode_code)
 
+    # --- TRAIN-step FLOP constants (round-5 directive: training MFU) ---
+    # Cost-analyze the PRODUCTION train steps at a small batch and scale
+    # per-item: every dominant term (conv towers, attention, matmuls,
+    # quantizer distances) is linear in batch; the only batch-independent
+    # work is the optimizer update (~3 ops/param ≈ 0.2 GFLOP for VQGAN,
+    # 0.3 for MIGT — <0.1% of a full-size step), so the per-item constant
+    # at the recipe batches is accurate to well under a percent.
+    from viewformer_tpu.train.codebook import (create_codebook_optimizer,
+                                               init_codebook_state,
+                                               make_codebook_train_step)
+    from viewformer_tpu.train.transformer import (create_transformer_optimizer,
+                                                  init_transformer_state,
+                                                  make_transformer_train_step)
+
+    cb_train_cfg = VQGANConfig(perceptual_weight=0.0)  # recipe trains w/o LPIPS
+    cb_opt = create_codebook_optimizer(cb_train_cfg, accumulate_grad_batches=8)
+    cb_model, cb_state = init_codebook_state(cb_train_cfg, jax.random.PRNGKey(0),
+                                             cb_opt, dtype=jnp.bfloat16, remat=True)
+    cb_step = make_codebook_train_step(cb_model, cb_train_cfg, cb_opt, donate=False)
+    CB_B = 4
+    cb_batch = jnp.zeros((CB_B, 128, 128, 3), jnp.uint8)  # uint8 wire path
+    cb_train = flops_of(lambda s, b: cb_step(s, b), cb_state, cb_batch)
+
+    tr_train_cfg = MIGTConfig(total_steps=200_000, dropout=0.1,
+                              gradient_clip_val=1.0)
+    tr_opt, _ = create_transformer_optimizer(tr_train_cfg)
+    tr_model, tr_state = init_transformer_state(
+        tr_train_cfg, jax.random.PRNGKey(1), tr_opt, dtype=jnp.bfloat16,
+        dropout_impl='rng', remat=True)
+    tr_step = make_transformer_train_step(tr_model, tr_train_cfg, tr_opt,
+                                          donate=False)
+    TR_B = 2
+    tr_batch = (jnp.zeros((TR_B, S, 7), jnp.float32),
+                jnp.zeros((TR_B, S, 8, 8), jnp.int32))
+    tr_train = flops_of(lambda s, b, r: tr_step(s, b, r), tr_state, tr_batch,
+                        jax.random.PRNGKey(2))
+
     inc_gen = flops_of(bench_generate_fn, tvars, cameras, codes)
     cache = jax.eval_shape(
         lambda tv: prefill_cache(transformer, tv['params'],
@@ -108,6 +145,8 @@ def main():
         'incremental_generate_gflops': round(inc_gen / 1e9, 2),
         'bench_pipeline_gflops_per_frame': round((enc + inc_gen + dec) / 1e9, 2),
         'serve_step_gflops_per_frame': round(serve_step / 1e9, 2),
+        'codebook_train_gflops_per_image': round(cb_train / CB_B / 1e9, 2),
+        'transformer_train_gflops_per_sequence': round(tr_train / TR_B / 1e9, 2),
     }
     # implied reference throughput on one A100 at a range of realized MFUs
     # (A100 SXM fp16/bf16 dense peak: 312 TFLOP/s, NVIDIA A100 datasheet)
@@ -128,8 +167,17 @@ def main():
                 'total_gflops_per_novel_view'],
             'serve_step_gflops_per_frame': report[
                 'serve_step_gflops_per_frame'],
+            'codebook_train_gflops_per_image': report[
+                'codebook_train_gflops_per_image'],
+            'transformer_train_gflops_per_sequence': report[
+                'transformer_train_gflops_per_sequence'],
             'note': 'XLA cost analysis at reference configs; regenerate with '
-                    'tools/baseline_flops.py when model configs change',
+                    'tools/baseline_flops.py when model configs change. '
+                    'Train constants: production train steps (fwd+bwd+optim, '
+                    'bf16 remat) cost-analyzed at small batch, per-item '
+                    '(linear in batch; optimizer term <0.1% at recipe '
+                    'batches). Codebook step uses perceptual_weight=0 + '
+                    'MultiSteps(8); transformer uses dropout 0.1.',
         }, f, indent=1)
     print('wrote', out)
 

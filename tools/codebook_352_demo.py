@@ -21,7 +21,7 @@ on the logging cadence) is both the production path and the honest number.
 
 Run on the TPU host: `python tools/codebook_352_demo.py` (needs a generated
 colors dataset, see --dataset; ~6 min). `--cpu --tiny` for a harness smoke
-test. Writes CODEBOOK352_r04.json (r3 artifact kept for history).
+test. Writes CODEBOOK352_r05.json (earlier rounds kept for history).
 """
 import argparse
 import json
@@ -35,7 +35,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--dataset', default='/tmp/quality_r03/img',
+    ap.add_argument('--dataset', default='/tmp/quality_r05/img',
                     help='an existing image dataset (the quality-gate '
                          'workdir by default; any colors dataset works)')
     ap.add_argument('--job-dir', default='/tmp/cb352_job')
@@ -47,7 +47,7 @@ def main():
                     help='micro steps per scanned dispatch (40 = 5 updates)')
     ap.add_argument('--cpu', action='store_true')
     ap.add_argument('--tiny', action='store_true')
-    ap.add_argument('--out', default=os.path.join(REPO, 'CODEBOOK352_r04.json'))
+    ap.add_argument('--out', default=os.path.join(REPO, 'CODEBOOK352_r05.json'))
     args = ap.parse_args()
 
     env = dict(os.environ)
@@ -158,6 +158,19 @@ def main():
         'epoch_boundary_overhead_s': round(epoch_overhead, 1),
         'total_wall_s_incl_compile': round(wall, 1),
     }
+    # achieved TFLOP/s + MFU from the committed XLA-cost-analysis train-step
+    # constant (tools/baseline_flops.py; round-5 directive: training MFU)
+    if not args.tiny:
+        try:
+            with open(os.path.join(REPO, 'tools', 'bench_flops.json')) as f:
+                gflops_per_image = json.load(f)['codebook_train_gflops_per_image']
+            achieved = micro_per_s * args.micro_batch * gflops_per_image * 1e9
+            report['train_gflops_per_image'] = gflops_per_image
+            report['achieved_tflops_per_s'] = round(achieved / 1e12, 1)
+            report['mfu_vs_v5e_bf16_peak'] = round(achieved / 197e12, 3)
+        except (OSError, KeyError, ValueError) as e:
+            print(f'MFU fields omitted ({e!r}); regenerate with '
+                  'tools/baseline_flops.py', file=sys.stderr)
     print(json.dumps(report, indent=1))
     if not (args.tiny or args.cpu):
         with open(args.out, 'w') as f:

@@ -36,8 +36,8 @@ LOWERING_TPU_r03.json.
 
 --tpu-topology-inference compiles the sharded INFERENCE programs the same
 way (evaluate-transformer fused predict, generate-codes encode,
-ServingSession prefill + render — see run_tpu_topology_inference). Writes
-LOWERING_TPU_r04.json.
+ServingSession prefill + observe + render + localize — see
+run_tpu_topology_inference). Writes LOWERING_TPU_r05.json.
 """
 import json
 import os
@@ -247,7 +247,7 @@ def run_tpu_topology_inference():
 
     Asserts tpu_custom_call survives partitioning wherever the program
     contains the fused prefill (predict, serve start). Writes
-    LOWERING_TPU_r04.json. Full-size model configs throughout (VQ-GAN
+    LOWERING_TPU_r05.json. Full-size model configs throughout (VQ-GAN
     ch=128 @128px, MIGT 12L/768d/12H).
     """
     import time
@@ -385,7 +385,24 @@ def run_tpu_topology_inference():
                  cache_in, transform_in, qcams_in),
                 mesh8, expect_mosaic=False)  # single-frame branch is dense
 
-    out = os.path.join(REPO, 'LOWERING_TPU_r04.json')
+    # --- ServingSession observe (extend_cache: encode one frame + one
+    # context pass appending K/V) and localize (loc-branch pass + pose head)
+    # — round-5 directive #4: the observe leg was absent from r04's AOT set
+    # (and serve had never executed multi-device at all; the dryrun now runs
+    # it, this proves the full-size programs compile for a real v5e-8) ---
+    oimg_in = jax.ShapeDtypeStruct((B, 128, 128, 3), jnp.float32,
+                                   sharding=data8)
+    ocam_in = jax.ShapeDtypeStruct((B, 7), jnp.float32, sharding=data8)
+    compile_leg('serve_observe_dp8', session._observe_fn,
+                (repl(tparams_s, mesh8), repl(cvars_sess, mesh8),
+                 cache_in, transform_in, oimg_in, ocam_in),
+                mesh8, expect_mosaic=False)  # single-frame pass is dense
+    compile_leg('serve_localize_dp8', session._localize_fn,
+                (repl(tparams_s, mesh8), repl(cvars_sess, mesh8),
+                 cache_in, transform_in, oimg_in),
+                mesh8, expect_mosaic=False)
+
+    out = os.path.join(REPO, 'LOWERING_TPU_r05.json')
     report['ok'] = True
     with open(out, 'w') as f:
         json.dump(report, f, indent=1)

@@ -29,11 +29,17 @@ context flattens the curve to ~0 gain).
 
 This is the only end-to-end *accuracy* evidence obtainable offline (round 1
 measured PSNR 12.4->13.4 and ori 0.18->0.08 in just 400 steps at smaller
-scale). Writes QUALITY_r04.json with the full results.json + the table.
+scale). Writes QUALITY_r05_seed<seed>.json with the full results.json + the
+table (+ the finetune-continuation leg).
 
-Run on the TPU host: `python tools/quality_gate_colors.py` (~80-100 min
-through the tunnel at the 6k/4k defaults). `--quick` shrinks everything
-for a CPU harness check.
+Round-5 protocol (two-seed variance, VERDICT r4 weak #1):
+    python tools/quality_gate_colors.py --seed 42
+    python tools/quality_gate_colors.py --seed 1337
+    python tools/quality_gate_colors.py --combine QUALITY_r05_seed42.json \
+        QUALITY_r05_seed1337.json --out QUALITY_r05.json
+
+Run on the TPU host (~80-100 min per seed through the tunnel at the 6k/4k
+defaults). `--quick` shrinks everything for a CPU harness check.
 """
 import argparse
 import json
@@ -67,9 +73,22 @@ def run_cli(args, env, platform=None, timeout=7200, log=None):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--workdir', default='/tmp/quality_r04')
+    ap.add_argument('--workdir', default='/tmp/quality_r05')
+    ap.add_argument('--seed', type=int, default=42,
+                    help='training seed (init + data order). The dataset is '
+                         'shared across seeds; job dirs for non-default '
+                         'seeds get a _s<seed> suffix. Round-5 protocol: '
+                         'run twice (42 and 1337), then --combine both '
+                         'reports to derive evidence-based thresholds')
     ap.add_argument('--codebook-steps', type=int, default=6000)
     ap.add_argument('--transformer-steps', type=int, default=4000)
+    ap.add_argument('--finetune-steps', type=int, default=1000,
+                    help='finetune-transformer leg length (0 disables): '
+                         'continues the gate transformer for N more steps at '
+                         'an overridden lr (ref README.md:308-323 finetune '
+                         'semantics), asserting the step counter/schedules '
+                         'continue from the restored step and eval PSNR '
+                         'stays within noise of the base run')
     ap.add_argument('--min-psnr', type=float, default=22.0,
                     help='ratcheted to 22 after the lr-scaled 2026-08-18 run '
                          'measured 26.1 (was 17, calibrated on the old '
@@ -86,14 +105,38 @@ def main():
     ap.add_argument('--regate', metavar='REPORT.json',
                     help='recompute the gate verdict from an existing report '
                          '(threshold iteration without re-running ~80 min of '
-                         'training) and rewrite --out')
+                         'training); requires an explicit --out so the '
+                         'committed artifact cannot be clobbered by a '
+                         'threshold experiment')
+    ap.add_argument('--combine', nargs=2, metavar='REPORT.json',
+                    help='merge two per-seed reports into one artifact with '
+                         'run-to-run spread + worst-seed gate values; '
+                         'requires an explicit --out')
     ap.add_argument('--quick', action='store_true')
-    ap.add_argument('--out', default=os.path.join(REPO, 'QUALITY_r04.json'))
+    ap.add_argument('--out', default=None,
+                    help='default: QUALITY_r05_seed<seed>.json at the repo '
+                         'root (run mode); required for --regate/--combine')
     args = ap.parse_args()
+
+    if args.regate or args.combine:
+        if args.out is None:
+            # an unnamed regate once silently overwrote the committed
+            # passing artifact with a FAILED threshold experiment
+            ap.error('--regate/--combine require an explicit --out')
+    elif args.out is None:
+        args.out = os.path.join(REPO, f'QUALITY_r05_seed{args.seed}.json')
+
+    if args.combine:
+        sys.exit(_combine(args))
 
     if args.regate:
         with open(args.regate) as f:
             report = json.load(f)
+        missing = [k for k in ('transformer_eval', 'codebook_eval',
+                               'multictx_eval') if k not in report]
+        if missing:
+            sys.exit(f'--regate: report lacks eval sections {missing} '
+                     '(pre-r04 or --quick report?)')
         ok = _apply_gate(report, report['transformer_eval'],
                          report['codebook_eval'], report['multictx_eval'], args)
         with open(args.out, 'w') as f:
@@ -110,6 +153,7 @@ def main():
     if args.quick:
         image_size, n_seq, seq_len = 32, 12, 8
         cb_steps, tr_steps = 8, 8
+        args.finetune_steps = min(args.finetune_steps, 4)
         cb_extra = ['--ch', '32', '--num-res-blocks', '1', '--n-embed', '64',
                     '--embed-dim', '8', '--batch-size', '4', '--epochs', '2',
                     '--image-size', '32', '--perceptual-weight', '0']
@@ -141,10 +185,14 @@ def main():
 
     report = {'config': {'image_size': image_size, 'n_sequences': n_seq,
                          'codebook_steps': cb_steps,
-                         'transformer_steps': tr_steps},
+                         'transformer_steps': tr_steps,
+                         'seed': args.seed},
               'timings_s': {}}
     log = report['timings_s']
     ds = os.path.join(wd, 'img')
+    # the dataset is seed-independent (fixed fixture); training job dirs are
+    # per-seed so two-seed runs never cross-contaminate
+    sfx = '' if args.seed == 42 else f'_s{args.seed}'
 
     if not os.path.exists(os.path.join(ds, 'info.json')):
         run_cli(['dataset', 'generate', '--loader', 'colors',
@@ -161,26 +209,28 @@ def main():
     # 2026-08-18 rerun resumed its 6k-step codebook from a previous 2k-step
     # attempt's checkpoint instead of training from scratch)
     import shutil
-    cb_job = os.path.join(wd, 'codebook')
+    cb_job = os.path.join(wd, 'codebook' + sfx)
     shutil.rmtree(cb_job, ignore_errors=True)
     run_cli(['train', 'codebook', '--dataset', ds, '--job-dir', cb_job,
-             '--total-steps', str(cb_steps)] + cb_extra,
+             '--total-steps', str(cb_steps), '--seed', str(args.seed)]
+            + cb_extra,
             env, platform=platform, log=log)
 
-    codes = os.path.join(wd, 'codes')
+    codes = os.path.join(wd, 'codes' + sfx)
     shutil.rmtree(codes, ignore_errors=True)
     run_cli(['generate-codes', '--dataset', ds, '--output', codes,
              '--model', cb_job, '--batch-size', '64'],
             env, platform=platform, log=log)
 
-    tr_job = os.path.join(wd, 'transformer')
+    tr_job = os.path.join(wd, 'transformer' + sfx)
     shutil.rmtree(tr_job, ignore_errors=True)
     run_cli(['train', 'transformer', '--dataset', codes,
              '--codebook-model', cb_job, '--job-dir', tr_job,
-             '--total-steps', str(tr_steps)] + tr_extra,
+             '--total-steps', str(tr_steps), '--seed', str(args.seed)]
+            + tr_extra,
             env, platform=platform, log=log)
 
-    eval_dir = os.path.join(wd, 'eval')
+    eval_dir = os.path.join(wd, 'eval' + sfx)
     run_cli(['evaluate', 'transformer', '--loader', 'dataset',
              '--loader-path', ds, '--loader-split', 'test',
              '--transformer-model', tr_job, '--codebook-model', cb_job,
@@ -189,7 +239,7 @@ def main():
              '--num-store-images', '8'],
             env, platform=platform, log=log)
 
-    cb_eval_dir = os.path.join(wd, 'eval_codebook')
+    cb_eval_dir = os.path.join(wd, 'eval_codebook' + sfx)
     run_cli(['evaluate', 'codebook', '--loader', 'dataset',
              '--loader-path', ds, '--loader-split', 'test',
              '--codebook-model', cb_job, '--job-dir', cb_eval_dir,
@@ -199,7 +249,7 @@ def main():
     # multictx: one pass produces PSNR for EVERY context size (the paper's
     # signature table) — the monotonicity assertion below is a sharp
     # end-to-end check of the branching-attention masks
-    mc_dir = os.path.join(wd, 'eval_multictx')
+    mc_dir = os.path.join(wd, 'eval_multictx' + sfx)
     run_cli(['evaluate', 'transformer-multictx', '--loader', 'dataset',
              '--loader-path', ds, '--loader-split', 'test',
              '--transformer-model', tr_job, '--codebook-model', cb_job,
@@ -218,7 +268,66 @@ def main():
     report['codebook_eval'] = cb_results
     report['multictx_eval'] = mc_results
 
+    # FINETUNE leg (round-5 directive #5): continue the gate transformer for
+    # --finetune-steps more steps at an overridden lr (the reference treats
+    # finetuning as a first-class workflow with overridden hyperparameters,
+    # ref README.md:308-323, finetune_transformer.py:78-87), then assert
+    #   (a) the step counter/schedules CONTINUE from the restored step (the
+    #       first logged train step must exceed the base run's total), and
+    #   (b) eval PSNR of the finetuned model stays within noise of the base.
+    if args.finetune_steps:
+        ft_job = tr_job + '_ft'
+        shutil.rmtree(ft_job, ignore_errors=True)
+        ft_flags = ['--learning-rate', '1e-4']
+        if args.quick:
+            ft_flags += ['--batch-size', '2', '--epochs', '1']
+        else:
+            ft_flags += ['--batch-size', '10', '--epochs', '2',
+                         '--steps-per-call', '20',
+                         '--codebook-model', cb_job]
+        run_cli(['train', 'finetune-transformer', '--dataset', codes,
+                 '--checkpoint', tr_job, '--job-dir', ft_job,
+                 '--total-steps', str(tr_steps + args.finetune_steps)]
+                + ft_flags, env, platform=platform, log=log)
+        first_step = None
+        with open(os.path.join(ft_job, 'metrics.jsonl')) as f:
+            for line in f:
+                rec = json.loads(line)
+                if 'train/loss' in rec:
+                    first_step = rec['step']
+                    break
+        ft_eval_dir = os.path.join(wd, 'eval_finetune' + sfx)
+        run_cli(['evaluate', 'transformer', '--loader', 'dataset',
+                 '--loader-path', ds, '--loader-split', 'test',
+                 '--transformer-model', ft_job, '--codebook-model', cb_job,
+                 '--job-dir', ft_eval_dir, '--batch-size', str(min(eval_n, 8)),
+                 '--num-eval-sequences', str(eval_n),
+                 '--num-store-images', '0'],
+                env, platform=platform, log=log)
+        with open(os.path.join(ft_eval_dir, 'results.json')) as f:
+            ft_results = json.load(f)
+        schedules_continue = (first_step is not None and first_step > tr_steps)
+        psnr_within_noise = (args.quick or (
+            ft_results.get('psnr') is not None and results.get('psnr') is not None
+            and ft_results['psnr'] >= results['psnr'] - 1.0))
+        report['finetune'] = {
+            'steps': args.finetune_steps,
+            'overrides': {'learning_rate': 1e-4},
+            'restored_from_step': tr_steps,
+            'first_logged_step': first_step,
+            'schedules_continue_from_restored_step': bool(schedules_continue),
+            'eval': ft_results,
+            'psnr_base': results.get('psnr'),
+            'psnr_finetuned': ft_results.get('psnr'),
+            'psnr_within_noise_of_base': bool(psnr_within_noise),
+            'ok': bool(schedules_continue and psnr_within_noise),
+        }
+        print(json.dumps({k: v for k, v in report['finetune'].items()
+                          if k != 'eval'}), flush=True)
+
     _apply_gate(report, results, cb_results, mc_results, args)
+    if report.get('finetune') is not None and not args.quick:
+        report['ok'] = bool(report['ok'] and report['finetune']['ok'])
 
     if not args.quick:
         with open(args.out, 'w') as f:
@@ -233,9 +342,16 @@ def main():
         print(json.dumps({'quick_psnr': results.get('psnr')}), flush=True)
 
 
+def _ctx_order(key):
+    """Numeric context-size ordering ('ctx1' < 'ctx2' < 'ctx10') — a
+    lexicographic sort only works while the evaluator zero-pads the keys."""
+    digits = ''.join(c for c in key if c.isdigit())
+    return int(digits) if digits else 0
+
+
 def _apply_gate(report, results, cb_results, mc_results, args):
     psnr_by_ctx = {ctx: m.get('psnr') for ctx, m in mc_results.items()}
-    curve = [psnr_by_ctx[k] for k in sorted(psnr_by_ctx)]
+    curve = [psnr_by_ctx[k] for k in sorted(psnr_by_ctx, key=_ctx_order)]
     # Context-size check, calibrated on the 2026-08-18 measured curve
     # (18.9 -> 26.1 dB over ctx 1..19 at 24 eval sequences): adjacent pairs
     # carry ~+-0.4 dB finite-sample noise, so the per-pair slack only
@@ -262,6 +378,49 @@ def _apply_gate(report, results, cb_results, mc_results, args):
                         and results['loc-angle'] <= args.max_ori
                         and mono_ok)
     return report['ok']
+
+
+def _combine(args):
+    """Merge two per-seed reports into the round artifact: both trajectories,
+    the run-to-run spread, and worst-seed gate values — the evidence base for
+    the thresholds (round-5 directive #2)."""
+    reports = []
+    for path in args.combine:
+        with open(path) as f:
+            reports.append(json.load(f))
+    for r, path in zip(reports, args.combine):
+        for key in ('gate', 'ok', 'transformer_eval'):
+            if key not in r:
+                sys.exit(f'--combine: {path} lacks {key!r} (quick report?)')
+    seeds = [str(r['config'].get('seed', '?')) for r in reports]
+    psnrs = [r['gate']['psnr'] for r in reports]
+    gains = [r['gate']['ctx_gain'] for r in reports]
+    oris = [r['gate']['loc_angle'] for r in reports]
+    combined = {
+        'protocol': 'two independent seeds at the 6k/4k gate config; '
+                    'thresholds derive from worst-seed minus noise (adjacent '
+                    'multictx pairs carry ~+-0.4 dB at 24 eval sequences; '
+                    'the measured seed spread bounds trajectory variance)',
+        'seeds': dict(zip(seeds, reports)),
+        'spread': {'psnr_db': round(abs(psnrs[0] - psnrs[1]), 3),
+                   'ctx_gain_db': round(abs(gains[0] - gains[1]), 3),
+                   'loc_angle_rad': round(abs(oris[0] - oris[1]), 5)},
+        'worst': {'psnr_db': round(min(psnrs), 3),
+                  'ctx_gain_db': round(min(gains), 3),
+                  'loc_angle_rad': round(max(oris), 5)},
+        'thresholds_in_force': {'min_psnr': args.min_psnr,
+                                'max_ori': args.max_ori,
+                                'min_ctx_gain': args.min_ctx_gain,
+                                'mono_slack': args.mono_slack},
+        'ok': bool(all(r['ok'] for r in reports)),
+    }
+    with open(args.out, 'w') as f:
+        json.dump(combined, f, indent=1)
+    print(json.dumps({k: combined[k] for k in
+                      ('spread', 'worst', 'thresholds_in_force', 'ok')},
+                     indent=1), flush=True)
+    print('wrote', args.out, flush=True)
+    return 0 if combined['ok'] else 1
 
 
 if __name__ == '__main__':

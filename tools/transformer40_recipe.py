@@ -20,7 +20,7 @@ the tunnel; see that module's docstring).
 Requires a generated TOKEN dataset + codebook job dir (the quality gate's
 workdir provides both). Run on the TPU host:
     python tools/transformer40_recipe.py
-`--cpu --tiny` for a harness smoke test. Writes TRANSFORMER40_r04.json.
+`--cpu --tiny` for a harness smoke test. Writes TRANSFORMER40_r05.json.
 """
 import argparse
 import json
@@ -34,10 +34,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--dataset', default='/tmp/quality_r04/codes',
+    ap.add_argument('--dataset', default='/tmp/quality_r05/codes',
                     help='an existing TOKEN (code) dataset — the quality '
                          'gate generates one')
-    ap.add_argument('--codebook-model', default='/tmp/quality_r04/codebook',
+    ap.add_argument('--codebook-model', default='/tmp/quality_r05/codebook',
                     help='codebook job dir (binds vocab + validation PSNR)')
     ap.add_argument('--job-dir', default='/tmp/tr40_job')
     ap.add_argument('--batch', type=int, default=40)
@@ -57,7 +57,7 @@ def main():
                          '(0 disables)')
     ap.add_argument('--cpu', action='store_true')
     ap.add_argument('--tiny', action='store_true')
-    ap.add_argument('--out', default=os.path.join(REPO, 'TRANSFORMER40_r04.json'))
+    ap.add_argument('--out', default=os.path.join(REPO, 'TRANSFORMER40_r05.json'))
     args = ap.parse_args()
 
     env = dict(os.environ)
@@ -188,6 +188,20 @@ def main():
         'first_last_train_loss': losses,
         'total_wall_s_incl_compile': round(wall, 1),
     }
+    # achieved TFLOP/s + MFU from the committed XLA-cost-analysis train-step
+    # constant (tools/baseline_flops.py; round-5 directive: training MFU)
+    if not args.tiny:
+        try:
+            with open(os.path.join(REPO, 'tools', 'bench_flops.json')) as f:
+                gflops_per_seq = json.load(f)[
+                    'transformer_train_gflops_per_sequence']
+            achieved = steps_per_s * args.batch * gflops_per_seq * 1e9
+            report['train_gflops_per_sequence'] = gflops_per_seq
+            report['achieved_tflops_per_s'] = round(achieved / 1e12, 1)
+            report['mfu_vs_v5e_bf16_peak'] = round(achieved / 197e12, 3)
+        except (OSError, KeyError, ValueError) as e:
+            print(f'MFU fields omitted ({e!r}); regenerate with '
+                  'tools/baseline_flops.py', file=sys.stderr)
     print(json.dumps(report, indent=1))
     if not (args.tiny or args.cpu):
         with open(args.out, 'w') as f:

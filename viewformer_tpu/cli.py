@@ -203,10 +203,13 @@ def _config_from_options(config_cls, options):
                    'point (see README Checkpointing for measured numbers).')
 @click.option('--fp32', is_flag=True, help='disable bf16 compute')
 @click.option('--wandb', is_flag=True)
+@click.option('--seed', type=int, default=42,
+              help='init + data-order seed (two-seed gate runs)')
 @click.option('--resume/--no-resume', default=True)
 def train_codebook_cmd(dataset_path, job_dir, total_steps, epochs, batch_size,
                        accumulate_grad_batches, steps_per_call, log_every,
-                       checkpoint_every, fp32, wandb, resume, **config_options):
+                       checkpoint_every, fp32, wandb, seed, resume,
+                       **config_options):
     """Train the VQ-GAN codebook (stage 1)."""
     from .config import VQGANConfig
     from .train.codebook import train_codebook
@@ -219,7 +222,7 @@ def train_codebook_cmd(dataset_path, job_dir, total_steps, epochs, batch_size,
                    epochs=epochs, batch_size=config.batch_size,
                    accumulate_grad_batches=accumulate_grad_batches,
                    steps_per_call=steps_per_call, log_every=log_every,
-                   checkpoint_every=checkpoint_every,
+                   checkpoint_every=checkpoint_every, seed=seed,
                    resume=resume, use_bf16=not fp32, wandb=wandb)
 
 
@@ -258,11 +261,17 @@ def train_codebook_cmd(dataset_path, job_dir, total_steps, epochs, batch_size,
                    'contract and the cadence guidance formula')
 @click.option('--fp32', is_flag=True)
 @click.option('--wandb', is_flag=True)
+@click.option('--seed', type=int, default=42,
+              help='init + data-order seed (two-seed gate runs)')
+@click.option('--force-wide-scan', is_flag=True,
+              help='bypass the full-size scan-window clamp (steps-per-call '
+                   '> 20 at full size is a known TPU-worker-crash trigger, '
+                   'tools/backend_crash_history.jsonl 2026-08-18)')
 @click.option('--resume/--no-resume', default=True)
 def train_transformer_cmd(dataset_path, codebook_model, job_dir, total_steps, epochs,
                           batch_size, max_samples_per_environment, steps_per_call,
-                          seq_parallelism, checkpoint_every, fp32, wandb, resume,
-                          **config_options):
+                          seq_parallelism, checkpoint_every, fp32, wandb, seed,
+                          force_wide_scan, resume, **config_options):
     """Train the MIGT transformer (stage 2)."""
     from .config import MIGTConfig, load_config
     from .train.transformer import train_transformer
@@ -275,11 +284,12 @@ def train_transformer_cmd(dataset_path, codebook_model, job_dir, total_steps, ep
         config.batch_size = batch_size
     train_transformer(config, dataset_path, job_dir, codebook_path=codebook_model,
                       total_steps=config.total_steps, epochs=epochs,
-                      batch_size=config.batch_size, resume=resume,
+                      batch_size=config.batch_size, resume=resume, seed=seed,
                       use_bf16=not fp32, wandb=wandb, steps_per_call=steps_per_call,
                       max_samples_per_environment=max_samples_per_environment,
                       seq_parallelism=seq_parallelism,
-                      checkpoint_every=checkpoint_every)
+                      checkpoint_every=checkpoint_every,
+                      force_wide_scan=force_wide_scan)
 
 
 @train.command('finetune-transformer')
@@ -294,10 +304,17 @@ def train_transformer_cmd(dataset_path, codebook_model, job_dir, total_steps, ep
 @click.option('--localization-weight', default=None)
 @click.option('--sequence-size', type=int, default=None)
 @click.option('--n-loss-skip', type=int, default=None)
+@click.option('--codebook-model', default=None,
+              help='optional codebook job dir for validation PSNR/image grids')
+@click.option('--steps-per-call', type=int, default=1,
+              help='scan k train steps inside one jitted call')
+@click.option('--checkpoint-every', type=int, default=None,
+              help='extra mid-epoch rolling-last saves every N steps')
 @click.option('--fp32', is_flag=True)
 @click.option('--wandb', is_flag=True)
 def finetune_transformer_cmd(dataset_path, checkpoint, job_dir, total_steps, epochs,
-                             batch_size, fp32, wandb, **overrides):
+                             batch_size, codebook_model, steps_per_call,
+                             checkpoint_every, fp32, wandb, **overrides):
     """Finetune an existing transformer (optimizer schedules continue from
     the restored step, ref finetune_transformer.py:78-87)."""
     from .config import load_config
@@ -315,7 +332,9 @@ def finetune_transformer_cmd(dataset_path, checkpoint, job_dir, total_steps, epo
         config.batch_size = batch_size
     train_transformer(config, dataset_path, job_dir, finetune_from=checkpoint,
                       total_steps=config.total_steps, epochs=epochs,
-                      batch_size=config.batch_size, use_bf16=not fp32, wandb=wandb)
+                      batch_size=config.batch_size, use_bf16=not fp32, wandb=wandb,
+                      codebook_path=codebook_model, steps_per_call=steps_per_call,
+                      checkpoint_every=checkpoint_every)
 
 
 # ---------------------------------------------------------------------------

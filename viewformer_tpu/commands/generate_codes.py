@@ -60,12 +60,17 @@ class LatentCodeTransformer:
         """uint8 [N, H, W, C] -> (device codes, N): pads the tail to the
         fixed batch (unique jit specialization), shards over the mesh's data
         axis when one is set, and returns WITHOUT fetching — the caller keeps
-        one batch in flight."""
+        one batch in flight. batch_size is GLOBAL: under a multi-process
+        mesh each process feeds batch_size/process_count local rows."""
         from ..ops.image import ensure_wire_images
         x = ensure_wire_images(frames)  # uint8 wire; the jitted encode normalizes
         n = len(x)
-        if n < self.batch_size:
-            x = np.concatenate([x, np.zeros((self.batch_size - n,) + x.shape[1:], x.dtype)], 0)
+        local_target = self.batch_size
+        if self.mesh is not None and jax.process_count() > 1:
+            assert self.batch_size % jax.process_count() == 0
+            local_target = self.batch_size // jax.process_count()
+        if n < local_target:
+            x = np.concatenate([x, np.zeros((local_target - n,) + x.shape[1:], x.dtype)], 0)
         if self.mesh is not None:
             from ..parallel import mesh as mesh_lib
             x = mesh_lib.shard_batch(self.mesh, x)
@@ -76,7 +81,10 @@ class LatentCodeTransformer:
     @staticmethod
     def _fetch(inflight):
         codes, n = inflight
-        return np.asarray(jax.device_get(codes))[:n]
+        from ..parallel.mesh import fetch_local_rows
+        # multi-process meshes: each process gets its own rows back (the
+        # global fetch would raise on non-addressable shards)
+        return fetch_local_rows(codes)[:n]
 
     def __call__(self, split, dataset):
         pending = []  # (cameras, num_frames)

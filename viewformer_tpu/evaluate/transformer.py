@@ -189,7 +189,8 @@ def generate_batch_predictions(transformer_model, transformer_vars, codebook_mod
 
     mesh: shard the batch over the mesh's data axis so the whole fused
     program runs SPMD across local chips (variables must already be
-    replicated on the mesh — see evaluate_transformer)."""
+    replicated on the mesh — see evaluate_transformer). Multi-process meshes
+    return each process's OWN rows (see parallel.mesh.fetch_local_rows)."""
     cache = _cache if _cache is not None else _CACHE
     key, predict = cache.get_or_build(
         (transformer_vars, codebook_vars), (images.shape[1:],),
@@ -209,7 +210,9 @@ def generate_batch_predictions(transformer_model, transformer_vars, codebook_mod
         from ..parallel import mesh as mesh_lib
         fimages, cameras = mesh_lib.shard_batch(mesh, (fimages, cameras))
         with mesh:
-            out = jax.device_get(predict(fimages, cameras))
+            out = jax.tree.map(mesh_lib.fetch_local_rows,
+                               predict(fimages, cameras),
+                               is_leaf=lambda x: x is None)
     else:  # indivisible first-batch edge case: plain single-device dispatch
         out = jax.device_get(predict(jnp.asarray(fimages), jnp.asarray(cameras)))
     return dict(

@@ -18,8 +18,13 @@ Gradients: jax.custom_vjp with fused flash-style backward kernels — the
 softmax weights are recomputed from q/k inside VMEM (only the inputs are
 saved as residuals), and dK/dV accumulate across q tiles in VMEM output
 blocks. Neither forward nor backward ever materializes an attention score
-tensor in HBM. (The fused path only activates when attention dropout is off —
-see multi_end_block_attention — so the backward needs no dropout mask.)
+tensor in HBM. Attention dropout ALSO runs fused (since r2): on TPU,
+multi_end_block_attention dispatches dropout-active calls to the *_dropout
+kernel variants, which regenerate the Bernoulli mask IN-KERNEL from
+(seed words, program index) via a counter hash in both directions — no
+dropout-mask residual is ever saved. The dense path (CPU lowering, or
+unsupported shapes) keeps the caller-selected `dropout_impl` noise; the
+noise STREAMS differ across platforms by design, the marginal matches.
 """
 import functools
 

@@ -97,6 +97,27 @@ def replicate(mesh, tree):
         lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)), tree)
 
 
+def fetch_local_rows(x):
+    """Materialize a batch-dim-0-sharded output on THIS process.
+
+    Single-process (fully addressable): a plain fetch of the whole array.
+    Multi-process: jax.device_get would raise on the non-addressable global
+    array, so assemble this host's rows from its addressable shards in
+    global-index order — which is exactly the rows this host fed in via
+    shard_batch, so every process gets its own local batch's results back
+    (the inverse of make_array_from_process_local_data)."""
+    if x is None:
+        return None
+    if getattr(x, 'is_fully_addressable', True):
+        return np.asarray(x)
+    by_start = {}  # dedupe replicated copies (e.g. a model/seq axis)
+    for shard in x.addressable_shards:
+        start = shard.index[0].start or 0
+        by_start.setdefault(start, shard.data)
+    return np.concatenate(
+        [np.asarray(by_start[s]) for s in sorted(by_start)], axis=0)
+
+
 def current_mesh():
     """The mesh in scope for spec-only sharding constraints / shard_map —
     either the modern abstract mesh (jax.set_mesh / jax.sharding.use_mesh)

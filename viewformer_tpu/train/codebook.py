@@ -246,6 +246,28 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
     step = start_step
     last_save = start_step  # newest save DISPATCHED (commit may lag; async)
     last_log = start_step
+    # Deferred logging (scanned path): fetching a window's metrics blocks
+    # until that window completes, so fetch window k's metrics only AFTER
+    # dispatching window k+1 — the host-side batch assembly + upload then
+    # overlaps device compute instead of serializing with it (measured:
+    # the serialized loop held the 352-recipe at 300 img/s vs its own 401
+    # img/s device ceiling, CODEBOOK352_r04.json).
+    pending = None  # (step, device metrics) of the newest dispatched window
+
+    def flush_pending():
+        nonlocal pending, last_log
+        if pending is None:
+            return
+        pstep, pmetrics = pending
+        pending = None
+        if pstep - last_log >= log_every or pstep == total_steps:
+            last_log = pstep
+            m = jax.device_get(pmetrics)
+            logger.log(pstep, m)
+            if progress:
+                print(f'step {pstep}/{total_steps} '
+                      + ' '.join(f'{k}={float(v):.4f}' for k, v in m.items()))
+
     with mesh:
         while step < total_steps:
             epoch_end = min(step + steps_per_epoch, total_steps)
@@ -261,6 +283,8 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
                         batches = [next(train_iter) for _ in range(steps_per_call)]
                     state, metrics = train_step(state, batches)
                     step += steps_per_call
+                    flush_pending()  # previous window: fetch overlaps this one
+                    pending = (step, metrics)
                 else:
                     batch = mesh_lib.shard_batch(mesh, next(train_iter))
                     # profiler trace window around step `profile_batch`
@@ -272,35 +296,39 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
                     if profile_batch and step == profile_batch + 1:
                         jax.tree.map(lambda x: x.block_until_ready(), metrics)
                         jax.profiler.stop_trace()
-                if step - last_log >= log_every or step == total_steps:
-                    # interval (not modulo) cadence: the reference-faithful
-                    # 1+N//epochs epoch length (ref train_codebook_th.py
-                    # limit_train_batches) drifts step off the modulo grid,
-                    # which starved train logs after epoch 1 with scan calls
-                    last_log = step
-                    logger.log(step, jax.device_get(metrics))
-                    if progress:
+                    if step - last_log >= log_every or step == total_steps:
+                        # interval (not modulo) cadence: the reference-faithful
+                        # 1+N//epochs epoch length (ref train_codebook_th.py
+                        # limit_train_batches) drifts step off the modulo grid,
+                        # which starved train logs after epoch 1 with scan calls
+                        last_log = step
                         m = jax.device_get(metrics)
-                        print(f'step {step}/{total_steps} '
-                              + ' '.join(f'{k}={float(v):.4f}' for k, v in m.items()))
+                        logger.log(step, m)
+                        if progress:
+                            print(f'step {step}/{total_steps} '
+                                  + ' '.join(f'{k}={float(v):.4f}'
+                                             for k, v in m.items()))
                 if (checkpoint_every and step < total_steps
                         and step - last_save >= checkpoint_every):
                     ckpt.save(step, state,
                               aux=({'data_iterator': train_data.state}
                                    if train_data.state is not None else None))
                     last_save = step
-            # validation at epoch end
+            flush_pending()
+            # validation at epoch end — dispatch ALL eval steps first, fetch
+            # after: each fetch then overlaps the next batch's compute
+            # instead of a blocking round trip per batch
             val_metrics = {}
             val_data = load_image_dataset(dataset_path, batch_size, config.image_size,
                                           split='test', repeat=1, shuffle=False,
                                           seed=seed, output_dtype='uint8')
             val_iter = iter(val_data)
-            count = 0
+            val_outs = []
             for batch in val_iter:
-                if count >= num_val_batches:
+                if len(val_outs) >= num_val_batches:
                     break
-                batch = mesh_lib.shard_batch(mesh, batch)
-                metrics, dec = eval_step(state, batch)
+                val_outs.append(eval_step(state, mesh_lib.shard_batch(mesh, batch)))
+            for count, (metrics, dec) in enumerate(val_outs):
                 metrics = jax.device_get(metrics)
                 for k, v in metrics.items():
                     val_metrics.setdefault(k, []).append(float(v))
@@ -309,7 +337,6 @@ def train_codebook(config: VQGANConfig, dataset_path, job_dir, *,
                     recon = np.clip(np.asarray(jax.device_get(dec)) / 2 + 0.5, 0, 1)
                     logger.log_images(step, (recon * 255).astype(np.uint8),
                                       tag='reconstructed')
-                count += 1
             val_data.close()  # early break leaves the producer blocked otherwise
             val_metrics = {k: float(np.mean(v)) for k, v in val_metrics.items()}
             if val_metrics:

@@ -19,6 +19,7 @@ TPU-native redesign:
 import functools
 import math
 import os
+import sys
 from typing import Any, NamedTuple
 
 import jax
@@ -36,6 +37,38 @@ class TransformerTrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jax.Array
+
+
+# Widest full-size scanned dispatch this backend survives: --steps-per-call 40
+# at 12L/768d B=40 killed the TPU worker before the first step
+# (tools/backend_crash_history.jsonl, 2026-08-18 tpu_worker_crashed), while
+# the spc=20 variant completed the same hour (TRANSFORMER40_r04.json).
+MAX_SAFE_STEPS_PER_CALL_FULLSIZE = 20
+
+
+def clamp_steps_per_call(steps_per_call, config, force=False):
+    """Chunk scan windows known to crash the TPU worker at full model size.
+
+    Returns the steps_per_call to actually use. Full-size-class transformers
+    (d_model >= 512) are clamped to MAX_SAFE_STEPS_PER_CALL_FULLSIZE with a
+    warning; pass force=True (CLI --force-wide-scan) to keep the requested
+    width anyway. Tiny/debug configs are never clamped. Semantics are
+    unchanged by chunking — the trainer still runs one optimizer step per
+    batch, just across more scanned dispatches."""
+    limit = MAX_SAFE_STEPS_PER_CALL_FULLSIZE
+    if steps_per_call <= limit or config.d_model < 512:
+        return steps_per_call
+    if force:
+        print(f'WARNING: --steps-per-call {steps_per_call} at full model size '
+              f'is a known TPU-worker-crash trigger '
+              f'(tools/backend_crash_history.jsonl 2026-08-18); proceeding '
+              f'because --force-wide-scan was given.', file=sys.stderr)
+        return steps_per_call
+    print(f'WARNING: clamping --steps-per-call {steps_per_call} -> {limit}: '
+          f'wider full-size scanned dispatches crashed the TPU worker '
+          f'(tools/backend_crash_history.jsonl 2026-08-18 tpu_worker_crashed). '
+          f'Pass --force-wide-scan to keep {steps_per_call}.', file=sys.stderr)
+    return limit
 
 
 # ---------------------------------------------------------------------------
@@ -247,7 +280,8 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
                       seed=42, use_bf16=True, wandb=False, log_every=50,
                       max_samples_per_environment=-1, mesh=None, progress=True,
                       profile_batch=50, steps_per_call=1, dropout_impl='rng',
-                      remat=True, seq_parallelism=1, checkpoint_every=None):
+                      remat=True, seq_parallelism=1, checkpoint_every=None,
+                      force_wide_scan=False):
     """Full training loop (CLI `train transformer` / `train finetune-transformer`).
 
     finetune_from: a job dir whose best/last checkpoint seeds the params while
@@ -269,6 +303,8 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
 
     total_steps = total_steps or config.total_steps
     batch_size = batch_size or config.batch_size
+    steps_per_call = clamp_steps_per_call(steps_per_call, config,
+                                          force=force_wide_scan)
     if mesh is None:
         mesh = mesh_lib.create_mesh_for_batch(batch_size,
                                               seq_parallelism=seq_parallelism)
@@ -350,6 +386,25 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
     step = start_step
     last_save = start_step  # newest save DISPATCHED (commit may lag; async)
     last_log = start_step
+    # Deferred logging (scanned path): fetch window k's metrics only after
+    # dispatching window k+1 so host batch assembly + upload overlap device
+    # compute (see train/codebook.py for the measured motivation)
+    pending = None  # (step, device metrics) of the newest dispatched window
+
+    def flush_pending():
+        nonlocal pending, last_log
+        if pending is None:
+            return
+        pstep, pmetrics = pending
+        pending = None
+        if pstep - last_log >= log_every or pstep == total_steps:
+            last_log = pstep
+            m = jax.device_get(pmetrics)
+            logger.log(pstep, m)
+            if progress:
+                print(f'step {pstep}/{total_steps} '
+                      + ' '.join(f'{k}={float(v):.4f}' for k, v in m.items()))
+
     with mesh:
         while step < total_steps:
             epoch_end = min(step + steps_per_epoch, total_steps)
@@ -362,6 +417,8 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
                         step -= steps_per_call - k
                     state, metrics = train_step(state, batches, rng)
                     step += steps_per_call
+                    flush_pending()  # previous window: fetch overlaps this one
+                    pending = (step, metrics)
                 else:
                     batch = mesh_lib.shard_batch(mesh, next(train_iter))
                     if profile_batch and step == profile_batch - 1:
@@ -371,37 +428,47 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
                     if profile_batch and step == profile_batch + 1:
                         jax.tree.map(lambda x: x.block_until_ready(), metrics)
                         jax.profiler.stop_trace()
-                if step - last_log >= log_every or step == total_steps:
-                    # interval (not modulo) cadence: scanned multi-step calls
-                    # and odd epoch lengths leave step off the modulo grid
-                    last_log = step
-                    m = jax.device_get(metrics)
-                    logger.log(step, m)
-                    if progress:
-                        print(f'step {step}/{total_steps} '
-                              + ' '.join(f'{k}={float(v):.4f}' for k, v in m.items()))
+                    if step - last_log >= log_every or step == total_steps:
+                        # interval (not modulo) cadence: scanned multi-step
+                        # calls and odd epoch lengths leave step off the
+                        # modulo grid
+                        last_log = step
+                        m = jax.device_get(metrics)
+                        logger.log(step, m)
+                        if progress:
+                            print(f'step {step}/{total_steps} '
+                                  + ' '.join(f'{k}={float(v):.4f}'
+                                             for k, v in m.items()))
                 if (checkpoint_every and step < total_steps
                         and step - last_save >= checkpoint_every):
                     ckpt.save(step, state,
                               aux=({'data_iterator': train_data.state}
                                    if train_data.state is not None else None))
                     last_save = step
-            # validation
+            flush_pending()
+            # validation — dispatch ALL eval (+ decode) steps, then fetch, so
+            # each fetch overlaps the next batch's compute instead of a
+            # blocking round trip per batch
             val_data = load_token_dataset(
                 dataset_path, batch_size, config.sequence_size, config.token_image_size,
                 split='test', repeat=1, seed=seed, shuffle=False,
                 transform=functools.partial(process_batch, augment=config.augment_poses))
             val_iter = iter(val_data)
             val_metrics = {}
-            for i, batch in enumerate(val_iter):
-                if i >= validation_steps:
+            val_outs = []
+            for batch in val_iter:
+                if len(val_outs) >= validation_steps:
                     break
                 batch = mesh_lib.shard_batch(mesh, batch)
                 metrics, logits = eval_step(state, batch)
+                decoded = (decode_val(cvars, logits, batch[1])
+                           if decode_val is not None else None)
+                val_outs.append((metrics, decoded))
+            for i, (metrics, decoded) in enumerate(val_outs):
                 for k, v in jax.device_get(metrics).items():
                     val_metrics.setdefault(k, []).append(float(v))
-                if decode_val is not None:
-                    psnr, gen_images = decode_val(cvars, logits, batch[1])
+                if decoded is not None:
+                    psnr, gen_images = decoded
                     val_metrics.setdefault('psnr', []).append(float(psnr))
                     if i == 0:
                         logger.log_images(step, np.asarray(jax.device_get(gen_images)),
