@@ -73,7 +73,10 @@ def run_cli(args, env, platform=None, timeout=7200, log=None):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--workdir', default='/tmp/quality_r05')
+    ap.add_argument('--workdir', default=None,
+                    help='default: /tmp/quality_r05 (full) or '
+                         '/tmp/quality_r05_quick (--quick) — separate dirs '
+                         'because the cached dataset differs in size')
     ap.add_argument('--seed', type=int, default=42,
                     help='training seed (init + data order). The dataset is '
                          'shared across seeds; job dirs for non-default '
@@ -145,7 +148,8 @@ def main():
         print('QUALITY GATE ' + ('PASSED' if ok else 'FAILED'), flush=True)
         sys.exit(0 if ok else 1)
 
-    wd = args.workdir
+    wd = args.workdir or ('/tmp/quality_r05_quick' if args.quick
+                          else '/tmp/quality_r05')
     os.makedirs(wd, exist_ok=True)
     env = dict(os.environ)
     env['PYTHONPATH'] = REPO + os.pathsep + env.get('PYTHONPATH', '')
@@ -194,7 +198,25 @@ def main():
     # per-seed so two-seed runs never cross-contaminate
     sfx = '' if args.seed == 42 else f'_s{args.seed}'
 
-    if not os.path.exists(os.path.join(ds, 'info.json')):
+    # Reuse a cached dataset only if it matches THIS run's config: a stale
+    # cache from a differently-sized run (a 32px --quick dataset in the full
+    # gate's workdir, 2026-08-19) otherwise crashes the codebook trainer at
+    # step 0 with an image-size assertion after the gate already spun up.
+    ds_ok = False
+    info_path = os.path.join(ds, 'info.json')
+    if os.path.exists(info_path):
+        with open(info_path) as f:
+            info = json.load(f)
+        ds_ok = (info.get('frame_size') == image_size
+                 and info.get('train_num_sequences') == n_seq
+                 and info.get('train_sequence_size') == seq_len)
+        if not ds_ok:
+            print(f'   stale cached dataset in {ds} '
+                  f'(frame_size={info.get("frame_size")}, '
+                  f'want {image_size}) — regenerating', flush=True)
+            import shutil as _sh
+            _sh.rmtree(ds, ignore_errors=True)
+    if not ds_ok:
         run_cli(['dataset', 'generate', '--loader', 'colors',
                  '--loader-num-sequences', str(n_seq),
                  '--loader-sequence-size', str(seq_len),
