@@ -43,6 +43,10 @@ def main():
     ap.add_argument('--accumulate', type=int, default=8)
     ap.add_argument('--total-steps', type=int, default=400,
                     help='micro steps (400 = 50 optimizer updates at x8)')
+    ap.add_argument('--epochs', type=int, default=4,
+                    help='>=3 epoch boundaries so the FIRST (which pays the '
+                         'one-time eval-step compile) can be reported apart '
+                         'from steady-state boundaries')
     ap.add_argument('--steps-per-call', type=int, default=40,
                     help='micro steps per scanned dispatch (40 = 5 updates)')
     ap.add_argument('--cpu', action='store_true')
@@ -99,7 +103,8 @@ def main():
             '--accumulate-grad-batches', str(args.accumulate),
             '--steps-per-call', str(args.steps_per_call),
             '--log-every', str(args.steps_per_call),
-            '--epochs', '2', '--perceptual-weight', '0'] + model_flags
+            '--epochs', str(args.epochs),
+            '--perceptual-weight', '0'] + model_flags
     t0 = time.time()
     proc = subprocess.run(cmd, env=env, cwd=REPO, text=True,
                           capture_output=True, timeout=5400)
@@ -139,9 +144,11 @@ def main():
     steps = sum(s for s, _ in clean)
     secs = sum(t for _, t in clean)
     micro_per_s = steps / secs
-    epoch_overhead = (sum(t for _, t in boundary)
-                      - sum(s for s, _ in boundary) / micro_per_s
-                      if boundary else 0.0)
+    # per-boundary overhead (window time minus the train work it contains).
+    # The FIRST boundary pays the one-time eval-step compile through the
+    # tunnel; steady-state boundaries show what an epoch actually costs.
+    overheads = [round(t - s / micro_per_s, 1) for s, t in boundary]
+    epoch_overhead = sum(overheads)
     report = {
         'recipe': f'global batch {args.micro_batch * args.accumulate} = '
                   f'{args.micro_batch} micro x {args.accumulate} MultiSteps '
@@ -156,6 +163,10 @@ def main():
         'sustained_images_per_s': round(micro_per_s * args.micro_batch, 1),
         'optimizer_update_s': round(args.accumulate / micro_per_s, 2),
         'epoch_boundary_overhead_s': round(epoch_overhead, 1),
+        'epoch_boundary_overheads_s': overheads,
+        'epoch_boundary_note': 'first boundary includes the one-time '
+                               'eval-step compile; later entries are the '
+                               'steady-state per-epoch validation cost',
         'total_wall_s_incl_compile': round(wall, 1),
     }
     # achieved TFLOP/s + MFU from the committed XLA-cost-analysis train-step
