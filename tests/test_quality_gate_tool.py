@@ -68,3 +68,43 @@ def test_regate_threshold_flags(tmp_path):
                     '--min-psnr', '19', '--max-ori', '0.05',
                     '--min-ctx-gain', '3')
     assert rc == 0
+
+
+def _seed_report(seed, psnr, ori, gain):
+    return {
+        'config': {'seed': seed}, 'timings_s': {},
+        'transformer_eval': {'psnr': psnr, 'loc-angle': ori},
+        'gate': {'psnr': psnr, 'loc_angle': ori, 'ctx_gain': gain},
+        'ok': True,
+    }
+
+
+def test_combine_two_seeds_derives_thresholds(tmp_path):
+    """--combine records both trajectories, the seed spread, worst-seed gate
+    values, and evidence-based threshold floors (worst minus spread minus
+    eval noise) — the round-5 variance protocol."""
+    a = tmp_path / 'a.json'
+    b = tmp_path / 'b.json'
+    out = tmp_path / 'combined.json'
+    a.write_text(json.dumps(_seed_report(42, 25.0, 0.016, 5.8)))
+    b.write_text(json.dumps(_seed_report(1337, 24.0, 0.018, 5.0)))
+    proc = subprocess.run(
+        [sys.executable, TOOL, '--combine', str(a), str(b), '--out', str(out)],
+        capture_output=True, text=True, timeout=60)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    combined = json.loads(out.read_text())
+    assert set(combined['seeds']) == {'42', '1337'}
+    assert combined['spread']['psnr_db'] == 1.0
+    assert combined['worst'] == {'psnr_db': 24.0, 'ctx_gain_db': 5.0,
+                                 'loc_angle_rad': 0.018}
+    der = combined['thresholds_derived']
+    assert der['min_psnr'] == 22.6       # 24.0 - 1.0 spread - 0.4 noise
+    assert der['min_ctx_gain'] == 3.4    # 5.0 - 0.8 spread - 0.8 (2 endpoints)
+    assert der['max_ori'] == 0.0236      # 0.018 + 0.002 spread + 20%
+    assert combined['ok'] is True
+
+    # refuses to run without an explicit --out (clobber protection)
+    proc = subprocess.run(
+        [sys.executable, TOOL, '--combine', str(a), str(b)],
+        capture_output=True, text=True, timeout=60)
+    assert proc.returncode != 0

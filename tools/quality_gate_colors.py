@@ -434,12 +434,28 @@ def _combine(args):
                                 'max_ori': args.max_ori,
                                 'min_ctx_gain': args.min_ctx_gain,
                                 'mono_slack': args.mono_slack},
+        # Evidence-based floors (round-5 directive #2): worst seed, minus the
+        # measured seed spread (run-to-run variance bound from the two
+        # trajectories), minus finite-sample eval noise — 0.4 dB per curve
+        # endpoint at 24 eval sequences (measured r4), so 0.4 for the psnr
+        # floor and 0.8 for the ctx-gain floor (two endpoints). loc-angle
+        # gets spread + 20% analogously. A future run below these floors is
+        # outside everything two healthy trajectories spanned.
+        'thresholds_derived': {
+            'rule': 'worst-seed minus seed spread minus eval noise '
+                    '(0.4 dB/curve endpoint at 24 eval sequences)',
+            'min_psnr': round(min(psnrs) - abs(psnrs[0] - psnrs[1]) - 0.4, 1),
+            'min_ctx_gain': round(min(gains) - abs(gains[0] - gains[1]) - 0.8, 1),
+            'max_ori': round(max(oris) + abs(oris[0] - oris[1])
+                             + 0.2 * max(oris), 4),
+        },
         'ok': bool(all(r['ok'] for r in reports)),
     }
     with open(args.out, 'w') as f:
         json.dump(combined, f, indent=1)
     print(json.dumps({k: combined[k] for k in
-                      ('spread', 'worst', 'thresholds_in_force', 'ok')},
+                      ('spread', 'worst', 'thresholds_in_force',
+                       'thresholds_derived', 'ok')},
                      indent=1), flush=True)
     print('wrote', args.out, flush=True)
     return 0 if combined['ok'] else 1
