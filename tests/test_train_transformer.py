@@ -158,3 +158,40 @@ def test_clamp_steps_per_call_guards_backend_killer(capsys):
     assert 'force-wide-scan' in capsys.readouterr().err
     # tiny/debug configs are never clamped
     assert clamp_steps_per_call(64, TINY) == 64
+
+
+def test_remat_policy_dots_matches_full_remat():
+    """remat_policy trades memory for recompute only — the train step's
+    metrics and updated params are identical to classic full remat (and to
+    no remat at all): jax.checkpoint policies never change the math."""
+    optimizer, _ = create_transformer_optimizer(TINY)
+    variants = {}
+    for name, kwargs in [('full', dict(remat=True)),
+                         ('dots', dict(remat=True, remat_policy='dots')),
+                         ('none', dict(remat=False))]:
+        model, state = init_transformer_state(TINY, jax.random.PRNGKey(0),
+                                              optimizer, **kwargs)
+        train_step = make_transformer_train_step(model, TINY, optimizer,
+                                                 donate=False)
+        batch = _batch(np.random.RandomState(0))
+        key = jax.random.PRNGKey(7)
+        for _ in range(2):
+            state, metrics = train_step(state, batch, key)
+        variants[name] = (state, metrics)
+    ref_state, ref_metrics = variants['full']
+    for name in ('dots', 'none'):
+        state, metrics = variants[name]
+        assert float(metrics['loss']) == pytest.approx(
+            float(ref_metrics['loss']), rel=1e-6), name
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6),
+            state.params, ref_state.params)
+
+
+def test_resolve_remat_policy_rejects_unknown():
+    from viewformer_tpu.train.transformer import resolve_remat_policy
+    assert resolve_remat_policy(None) is None
+    assert resolve_remat_policy('full') is None
+    assert resolve_remat_policy('dots') is not None
+    with pytest.raises(ValueError):
+        resolve_remat_policy('bogus')

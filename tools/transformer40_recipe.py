@@ -55,6 +55,10 @@ def main():
     ap.add_argument('--checkpoint-every', type=int, default=50,
                     help='mid-epoch async rolling-last saves every N steps '
                          '(0 disables)')
+    ap.add_argument('--remat-policy', default=None,
+                    choices=['full', 'dots', 'nothing'],
+                    help='per-block remat policy experiment (trainer '
+                         'default full)')
     ap.add_argument('--cpu', action='store_true')
     ap.add_argument('--tiny', action='store_true')
     ap.add_argument('--out', default=os.path.join(REPO, 'TRANSFORMER40_r05.json'))
@@ -124,6 +128,8 @@ def main():
             '--no-resume'] + model_flags
     if args.checkpoint_every:
         cmd += ['--checkpoint-every', str(args.checkpoint_every)]
+    if args.remat_policy:
+        cmd += ['--remat-policy', args.remat_policy]
     t0 = time.time()
     proc = subprocess.run(cmd, env=env, cwd=REPO, text=True,
                           capture_output=True, timeout=7200)
@@ -173,7 +179,8 @@ def main():
     report = {
         'recipe': f'global batch {args.batch} as ONE donated step per '
                   f'optimizer update (ref README.md:227-244: batch 40 = '
-                  f'5/GPU x 8 A100s), seq 20, dropout 0.1, remat, bf16',
+                  f'5/GPU x 8 A100s), seq 20, dropout 0.1, '
+                  f'remat({args.remat_policy or "full"}), bf16',
         'model': ('full-size MIGT 12L/768d/12H' if not args.tiny
                   else 'tiny smoke config'),
         'path': f'production trainer, --steps-per-call {args.steps_per_call}, '

@@ -259,6 +259,12 @@ def train_codebook_cmd(dataset_path, job_dir, total_steps, epochs, batch_size,
                    'with rolling-last coalescing — see `train codebook '
                    '--help` and README Checkpointing for the commit-lag '
                    'contract and the cadence guidance formula')
+@click.option('--remat-policy', type=click.Choice(['full', 'dots', 'nothing']),
+              default='full',
+              help='per-block remat policy: full = recompute the block in '
+                   'backward (lowest memory); dots = save matmul outputs, '
+                   'skip most recompute FLOPs (faster, more memory). '
+                   'Gradients are identical either way.')
 @click.option('--fp32', is_flag=True)
 @click.option('--wandb', is_flag=True)
 @click.option('--seed', type=int, default=42,
@@ -270,8 +276,8 @@ def train_codebook_cmd(dataset_path, job_dir, total_steps, epochs, batch_size,
 @click.option('--resume/--no-resume', default=True)
 def train_transformer_cmd(dataset_path, codebook_model, job_dir, total_steps, epochs,
                           batch_size, max_samples_per_environment, steps_per_call,
-                          seq_parallelism, checkpoint_every, fp32, wandb, seed,
-                          force_wide_scan, resume, **config_options):
+                          seq_parallelism, checkpoint_every, remat_policy, fp32,
+                          wandb, seed, force_wide_scan, resume, **config_options):
     """Train the MIGT transformer (stage 2)."""
     from .config import MIGTConfig, load_config
     from .train.transformer import train_transformer
@@ -289,6 +295,7 @@ def train_transformer_cmd(dataset_path, codebook_model, job_dir, total_steps, ep
                       max_samples_per_environment=max_samples_per_environment,
                       seq_parallelism=seq_parallelism,
                       checkpoint_every=checkpoint_every,
+                      remat_policy=None if remat_policy == 'full' else remat_policy,
                       force_wide_scan=force_wide_scan)
 
 

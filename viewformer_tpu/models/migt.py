@@ -224,6 +224,15 @@ class MIGT(nn.Module):
     dtype: Any = jnp.float32
     dropout_impl: str = 'rng'
     remat: bool = False
+    # jax.checkpoint policy for the per-block remat (None = save nothing,
+    # recompute the whole block in backward). Policies that save the matmul
+    # outputs (e.g. jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    # keep the per-block remat STRUCTURE — which is what the axon backend
+    # needs to compile the full-size backward graph at all (see
+    # tools/repro_rng_backward_crash.py) — while skipping most of the
+    # recompute FLOPs. Gradients are bitwise-identical either way; only
+    # memory/time trade off.
+    remat_policy: Any = None
     # context parallelism: mesh axis name to shard the residual streams'
     # frame dimension over (None = off; see _sp_constrain). A scaling
     # extension beyond the reference, like the 'model' axis in
@@ -247,7 +256,8 @@ class MIGT(nn.Module):
                               (WPE_STATIC_SIZE, cfg.d_model), jnp.float32)
         self.pose_embedding = MLP(cfg.d_model * 2, cfg.d_model, dtype=jnp.float32,
                                   name='pose_embedding')
-        block_cls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
+        block_cls = (nn.remat(Block, static_argnums=(2,), policy=self.remat_policy)
+                     if self.remat else Block)
         self.h = [block_cls(cfg.d_model, cfg.n_head, cfg.dropout, dtype=self.dtype,
                             dropout_impl=self.dropout_impl, name=f'h_{i}')
                   for i in range(cfg.n_layer)]

@@ -160,14 +160,33 @@ def create_transformer_optimizer(config, total_steps=None, warmup_steps=2000):
     return tx, lr
 
 
+def resolve_remat_policy(name):
+    """Map a CLI-friendly policy name to a jax.checkpoint policy.
+
+    None/'full' = classic remat (save nothing per block, recompute all);
+    'dots' = dots_with_no_batch_dims_saveable — keep the per-block remat
+    structure (required by the axon backend at full size, see
+    tools/repro_rng_backward_crash.py) but save matmul outputs, skipping
+    most backward recompute FLOPs at higher activation memory.
+    """
+    if name is None or name == 'full':
+        return None
+    if name == 'dots':
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if name == 'nothing':
+        return jax.checkpoint_policies.nothing_saveable
+    raise ValueError(f'unknown remat policy {name!r} (full|dots|nothing)')
+
+
 def init_transformer_state(config, rng, optimizer, dtype=jnp.float32,
-                           dropout_impl='rng', remat=True, sp_axis=None):
+                           dropout_impl='rng', remat=True, sp_axis=None,
+                           remat_policy=None):
     # remat default True: halves activation memory AND is required on some
     # backends whose compiler rejects the unrolled grad-with-dropout graph.
     # sp_axis: context parallelism — shard the residual streams' frame axis
     # over this mesh axis (models/migt._sp_constrain).
     model = MIGT(config, dtype=dtype, dropout_impl=dropout_impl, remat=remat,
-                 sp_axis=sp_axis)
+                 sp_axis=sp_axis, remat_policy=resolve_remat_policy(remat_policy))
     poses = jnp.zeros((1, config.sequence_size, 7), jnp.float32)
     tokens = jnp.zeros((1, config.sequence_size, config.token_image_size,
                         config.token_image_size), jnp.int32)
@@ -280,8 +299,8 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
                       seed=42, use_bf16=True, wandb=False, log_every=50,
                       max_samples_per_environment=-1, mesh=None, progress=True,
                       profile_batch=50, steps_per_call=1, dropout_impl='rng',
-                      remat=True, seq_parallelism=1, checkpoint_every=None,
-                      force_wide_scan=False):
+                      remat=True, remat_policy=None, seq_parallelism=1,
+                      checkpoint_every=None, force_wide_scan=False):
     """Full training loop (CLI `train transformer` / `train finetune-transformer`).
 
     finetune_from: a job dir whose best/last checkpoint seeds the params while
@@ -314,7 +333,7 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
     optimizer, lr_schedule = create_transformer_optimizer(config, total_steps)
     model, state = init_transformer_state(config, jax.random.PRNGKey(seed), optimizer,
                                           dtype, dropout_impl=dropout_impl, remat=remat,
-                                          sp_axis=sp_axis)
+                                          sp_axis=sp_axis, remat_policy=remat_policy)
 
     ckpt = CheckpointManager(job_dir, config)
     start_step = 0
