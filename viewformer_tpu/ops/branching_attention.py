@@ -278,7 +278,8 @@ def multi_end_block_attention(kset, vset, qset, dropout_rate=0.0, dropout_rng=No
     compute_causal_block_multiend_attention).
 
     use_fused: 'auto' dispatches to the Pallas VMEM-resident kernels
-    (ops/attention_pallas.py) when the shape is supported and dropout is off;
+    (ops/attention_pallas.py) when the shape is supported — with dropout
+    active they regenerate the mask in-kernel (hash dropout variants);
     routing is per lowering platform (jax.lax.platform_dependent: tpu ->
     fused, anything else -> dense), so the same traced program works on a CPU
     mesh and the TPU. True forces fused, False disables."""
