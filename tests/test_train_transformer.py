@@ -168,6 +168,9 @@ def test_remat_policy_dots_matches_full_remat():
     variants = {}
     for name, kwargs in [('full', dict(remat=True)),
                          ('dots', dict(remat=True, remat_policy='dots')),
+                         ('attn', dict(remat=True, remat_policy='attn')),
+                         ('attn_mlp', dict(remat=True,
+                                           remat_policy='attn_mlp')),
                          ('none', dict(remat=False))]:
         model, state = init_transformer_state(TINY, jax.random.PRNGKey(0),
                                               optimizer, **kwargs)
@@ -179,7 +182,7 @@ def test_remat_policy_dots_matches_full_remat():
             state, metrics = train_step(state, batch, key)
         variants[name] = (state, metrics)
     ref_state, ref_metrics = variants['full']
-    for name in ('dots', 'none'):
+    for name in ('dots', 'attn', 'attn_mlp', 'none'):
         state, metrics = variants[name]
         assert float(metrics['loss']) == pytest.approx(
             float(ref_metrics['loss']), rel=1e-6), name
@@ -193,5 +196,7 @@ def test_resolve_remat_policy_rejects_unknown():
     assert resolve_remat_policy(None) is None
     assert resolve_remat_policy('full') is None
     assert resolve_remat_policy('dots') is not None
+    assert resolve_remat_policy('attn') is not None
+    assert resolve_remat_policy('attn_mlp') is not None
     with pytest.raises(ValueError):
         resolve_remat_policy('bogus')

@@ -126,6 +126,17 @@ def main():
     tr_train = flops_of(lambda s, b, r: tr_step(s, b, r), tr_state, tr_batch,
                         jax.random.PRNGKey(2))
 
+    # same step under remat_policy='attn' (saved fused-attention outputs are
+    # not recomputed in backward, so the EXECUTED FLOPs per sequence drop;
+    # the recipe's MFU accounting must use the constant matching its policy)
+    tr_model_a, tr_state_a = init_transformer_state(
+        tr_train_cfg, jax.random.PRNGKey(1), tr_opt, dtype=jnp.bfloat16,
+        dropout_impl='rng', remat=True, remat_policy='attn')
+    tr_step_a = make_transformer_train_step(tr_model_a, tr_train_cfg, tr_opt,
+                                            donate=False)
+    tr_train_attn = flops_of(lambda s, b, r: tr_step_a(s, b, r), tr_state_a,
+                             tr_batch, jax.random.PRNGKey(2))
+
     inc_gen = flops_of(bench_generate_fn, tvars, cameras, codes)
     cache = jax.eval_shape(
         lambda tv: prefill_cache(transformer, tv['params'],
@@ -147,6 +158,8 @@ def main():
         'serve_step_gflops_per_frame': round(serve_step / 1e9, 2),
         'codebook_train_gflops_per_image': round(cb_train / CB_B / 1e9, 2),
         'transformer_train_gflops_per_sequence': round(tr_train / TR_B / 1e9, 2),
+        'transformer_train_attn_policy_gflops_per_sequence': round(
+            tr_train_attn / TR_B / 1e9, 2),
     }
     # implied reference throughput on one A100 at a range of realized MFUs
     # (A100 SXM fp16/bf16 dense peak: 312 TFLOP/s, NVIDIA A100 datasheet)
@@ -171,6 +184,8 @@ def main():
                 'codebook_train_gflops_per_image'],
             'transformer_train_gflops_per_sequence': report[
                 'transformer_train_gflops_per_sequence'],
+            'transformer_train_attn_policy_gflops_per_sequence': report[
+                'transformer_train_attn_policy_gflops_per_sequence'],
             'note': 'XLA cost analysis at reference configs; regenerate with '
                     'tools/baseline_flops.py when model configs change. '
                     'Train constants: production train steps (fwd+bwd+optim, '

@@ -136,6 +136,10 @@ VARIANTS = {
                      grad=False, remat_policy=None),
     'dots': dict(dropout=0.1, use_fused=True, localization=True, grad=True,
                  remat_policy='dots'),
+    'attn_remat': dict(dropout=0.1, use_fused=True, localization=True,
+                       grad=True, remat_policy='attn'),
+    'attn_mlp_remat': dict(dropout=0.1, use_fused=True, localization=True,
+                           grad=True, remat_policy='attn_mlp'),
 }
 
 

@@ -199,9 +199,13 @@ def main():
     # constant (tools/baseline_flops.py; round-5 directive: training MFU)
     if not args.tiny:
         try:
+            # executed FLOPs depend on the remat policy (less backward
+            # recompute under 'attn'); pick the constant matching the run
+            key = ('transformer_train_attn_policy_gflops_per_sequence'
+                   if args.remat_policy == 'attn'
+                   else 'transformer_train_gflops_per_sequence')
             with open(os.path.join(REPO, 'tools', 'bench_flops.json')) as f:
-                gflops_per_seq = json.load(f)[
-                    'transformer_train_gflops_per_sequence']
+                gflops_per_seq = json.load(f)[key]
             achieved = steps_per_s * args.batch * gflops_per_seq * 1e9
             report['train_gflops_per_sequence'] = gflops_per_seq
             report['achieved_tflops_per_s'] = round(achieved / 1e12, 1)

@@ -259,12 +259,18 @@ def train_codebook_cmd(dataset_path, job_dir, total_steps, epochs, batch_size,
                    'with rolling-last coalescing — see `train codebook '
                    '--help` and README Checkpointing for the commit-lag '
                    'contract and the cadence guidance formula')
-@click.option('--remat-policy', type=click.Choice(['full', 'dots', 'nothing']),
+@click.option('--remat-policy',
+              type=click.Choice(['full', 'attn', 'attn_mlp', 'dots',
+                                 'nothing']),
               default='full',
               help='per-block remat policy: full = recompute the block in '
-                   'backward (lowest memory); dots = save matmul outputs, '
-                   'skip most recompute FLOPs (faster, more memory). '
-                   'Gradients are identical either way.')
+                   'backward (lowest memory); attn = also save the fused '
+                   'attention kernels\' outputs so backward never re-runs '
+                   'them (~1-2GB at the full-size recipe); attn_mlp = attn '
+                   'plus the pre-gelu MLP hidden (~4x attn memory); dots = '
+                   'save ALL matmul outputs (OOMs the full-size B=40 '
+                   'recipe — smaller configs only). Gradients are identical '
+                   'under every policy.')
 @click.option('--fp32', is_flag=True)
 @click.option('--wandb', is_flag=True)
 @click.option('--seed', type=int, default=42,

@@ -32,6 +32,7 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..config import MIGTConfig
 from ..ops.branching_attention import multi_end_block_attention
@@ -66,6 +67,10 @@ class MLP(nn.Module):
     def __call__(self, x, deterministic=True):
         h = nn.Dense(self.d_inner, dtype=self.dtype,
                      kernel_init=nn.initializers.truncated_normal(0.02), name='c_fc')(x)
+        # remat-policy anchor (train/transformer.resolve_remat_policy
+        # 'attn_mlp'): saving the pre-gelu c_fc output skips the block's
+        # widest matmul in backward recompute; gelu/c_proj replay from it.
+        h = checkpoint_name(h, 'mlp_fc')
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.d_output, dtype=self.dtype,
                      kernel_init=nn.initializers.truncated_normal(0.02), name='c_proj')(h)
@@ -107,6 +112,13 @@ class BranchingAttention(nn.Module):
                                          dropout_rate=0.0 if deterministic else self.dropout,
                                          dropout_rng=dropout_rng,
                                          dropout_impl=self.dropout_impl)
+        # remat-policy anchor ('attn'/'attn_mlp' in resolve_remat_policy):
+        # saving the attention kernel's raw outputs means backward never
+        # re-runs the fused forward kernel — its vjp only needs q/k/v, which
+        # replay from one c_attn matmul of the (structurally saved) block
+        # input. ~75MB/stream/layer at the full-size recipe, vs 'dots'
+        # saving every matmul output (~25GB, exceeds HBM — measured OOM).
+        outs = tuple(checkpoint_name(o, 'attn_out') for o in outs)
 
         def merge_heads(x):  # [B, H, T, L, dh] -> [B, T, L, d]
             B, H, T, L, _ = x.shape

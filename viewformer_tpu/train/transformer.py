@@ -164,18 +164,32 @@ def resolve_remat_policy(name):
     """Map a CLI-friendly policy name to a jax.checkpoint policy.
 
     None/'full' = classic remat (save nothing per block, recompute all);
-    'dots' = dots_with_no_batch_dims_saveable — keep the per-block remat
-    structure (required by the axon backend at full size, see
-    tools/repro_rng_backward_crash.py) but save matmul outputs, skipping
-    most backward recompute FLOPs at higher activation memory.
+    'attn' = save only the attention kernels' raw outputs (checkpoint_name
+    anchors in models/migt.py) — backward never re-runs the fused forward
+    attention kernel, at ~75MB/stream/layer (fits the full-size recipe);
+    'attn_mlp' = 'attn' plus the pre-gelu c_fc outputs (the widest matmul;
+    ~4x the memory of 'attn' — verify HBM fit before long runs);
+    'dots' = dots_with_no_batch_dims_saveable — saves EVERY non-batch dot
+    output; at the full-size B=40 recipe this is ~25GB > HBM and the
+    backend compile OOMs (measured 2026-08-19, tools/train_step_ablation),
+    so it only suits smaller configs. All policies keep the per-block remat
+    STRUCTURE, which the axon backend requires to compile the full-size
+    backward graph at all (tools/repro_rng_backward_crash.py), and leave
+    gradients bitwise-identical (pinned in test_train_transformer).
     """
     if name is None or name == 'full':
         return None
+    if name == 'attn':
+        return jax.checkpoint_policies.save_only_these_names('attn_out')
+    if name == 'attn_mlp':
+        return jax.checkpoint_policies.save_only_these_names(
+            'attn_out', 'mlp_fc')
     if name == 'dots':
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
     if name == 'nothing':
         return jax.checkpoint_policies.nothing_saveable
-    raise ValueError(f'unknown remat policy {name!r} (full|dots|nothing)')
+    raise ValueError(
+        f'unknown remat policy {name!r} (full|attn|attn_mlp|dots|nothing)')
 
 
 def init_transformer_state(config, rng, optimizer, dtype=jnp.float32,
