@@ -160,6 +160,22 @@ def test_clamp_steps_per_call_guards_backend_killer(capsys):
     assert clamp_steps_per_call(64, TINY) == 64
 
 
+def test_warn_policy_snapshot_hbm(capsys):
+    """Activation-saving remat policies + mid-epoch snapshot saves exceeded
+    HBM at full size (runtime RESOURCE_EXHAUSTED, 2026-08-19); the trainer
+    must warn on the combination and stay silent otherwise."""
+    from viewformer_tpu.train.transformer import warn_policy_snapshot_hbm
+
+    full = MIGTConfig(n_layer=12, d_model=768, n_head=12)
+    assert warn_policy_snapshot_hbm('attn', 50, full)
+    assert 'RESOURCE_EXHAUSTED' in capsys.readouterr().err
+    for policy, every, cfg in [('attn', 0, full), ('attn', None, full),
+                               ('full', 50, full), (None, 50, full),
+                               ('attn', 50, TINY)]:
+        assert not warn_policy_snapshot_hbm(policy, every, cfg)
+    assert capsys.readouterr().err == ''
+
+
 def test_remat_policy_dots_matches_full_remat():
     """remat_policy trades memory for recompute only — the train step's
     metrics and updated params are identical to classic full remat (and to

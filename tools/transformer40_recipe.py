@@ -56,7 +56,7 @@ def main():
                     help='mid-epoch async rolling-last saves every N steps '
                          '(0 disables)')
     ap.add_argument('--remat-policy', default=None,
-                    choices=['full', 'dots', 'nothing'],
+                    choices=['full', 'attn', 'attn_mlp', 'dots', 'nothing'],
                     help='per-block remat policy experiment (trainer '
                          'default full)')
     ap.add_argument('--cpu', action='store_true')

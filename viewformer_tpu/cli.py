@@ -266,9 +266,12 @@ def train_codebook_cmd(dataset_path, job_dir, total_steps, epochs, batch_size,
               help='per-block remat policy: full = recompute the block in '
                    'backward (lowest memory); attn = also save the fused '
                    'attention kernels\' outputs so backward never re-runs '
-                   'them (~1-2GB at the full-size recipe); attn_mlp = attn '
-                   'plus the pre-gelu MLP hidden (~4x attn memory); dots = '
-                   'save ALL matmul outputs (OOMs the full-size B=40 '
+                   'them — measured +9.5% step throughput at the full-size '
+                   'recipe, but pair it with --checkpoint-every 0 (the '
+                   'saved activations + mid-epoch snapshot copies exceed '
+                   'HBM at full size); attn_mlp = attn plus the pre-gelu '
+                   'MLP hidden (~4x attn memory, OOMs at full size); dots '
+                   '= save ALL matmul outputs (OOMs the full-size B=40 '
                    'recipe — smaller configs only). Gradients are identical '
                    'under every policy.')
 @click.option('--fp32', is_flag=True)

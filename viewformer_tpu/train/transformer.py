@@ -71,6 +71,27 @@ def clamp_steps_per_call(steps_per_call, config, force=False):
     return limit
 
 
+def warn_policy_snapshot_hbm(remat_policy, checkpoint_every, config):
+    """Warn on activation-saving remat policies + mid-epoch snapshot saves.
+
+    Measured 2026-08-19: the full-size B=40 recipe under 'attn' fits HBM
+    bare, but mid-epoch async saves keep up to 2 device snapshots of the
+    train state co-resident (checkpoint.py rolling-last bound) and the
+    combination RESOURCE_EXHAUSTEDs at runtime around the first post-save
+    window. Epoch-cadence saves (checkpoint_every=0) fit — that is how
+    TRANSFORMER40_r05_attn.json was measured. Returns True if it warned."""
+    if not (remat_policy in ('attn', 'attn_mlp', 'dots') and checkpoint_every
+            and config.d_model >= 512):
+        return False
+    print(f'WARNING: --remat-policy {remat_policy} saves per-layer '
+          f'activations; combined with mid-epoch --checkpoint-every '
+          f'device snapshots this exceeded HBM at full size (measured '
+          f'2026-08-19, runtime RESOURCE_EXHAUSTED). Prefer '
+          f'--checkpoint-every 0 (epoch-boundary saves only) with this '
+          f'policy, or --remat-policy full.', file=sys.stderr)
+    return True
+
+
 # ---------------------------------------------------------------------------
 # Pose augmentation (host-side, numpy) — ref train_transformer.py:31-64
 # ---------------------------------------------------------------------------
@@ -166,7 +187,12 @@ def resolve_remat_policy(name):
     None/'full' = classic remat (save nothing per block, recompute all);
     'attn' = save only the attention kernels' raw outputs (checkpoint_name
     anchors in models/migt.py) — backward never re-runs the fused forward
-    attention kernel, at ~75MB/stream/layer (fits the full-size recipe);
+    attention kernel, at ~75MB/stream/layer. Measured at the full-size B=40
+    recipe: +9.5% step throughput over full remat
+    (TRANSFORMER40_r05_attn.json, 0.428 vs 0.391 updates/s) — but only with
+    epoch-cadence checkpointing; mid-epoch async-save device snapshots plus
+    the saved activations exceed HBM (runtime RESOURCE_EXHAUSTED, warned in
+    train_transformer);
     'attn_mlp' = 'attn' plus the pre-gelu c_fc outputs (the widest matmul;
     ~4x the memory of 'attn' — verify HBM fit before long runs);
     'dots' = dots_with_no_batch_dims_saveable — saves EVERY non-batch dot
@@ -338,6 +364,7 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
     batch_size = batch_size or config.batch_size
     steps_per_call = clamp_steps_per_call(steps_per_call, config,
                                           force=force_wide_scan)
+    warn_policy_snapshot_hbm(remat_policy, checkpoint_every, config)
     if mesh is None:
         mesh = mesh_lib.create_mesh_for_batch(batch_size,
                                               seq_parallelism=seq_parallelism)
