@@ -117,7 +117,8 @@ def run_tpu_topology():
     from viewformer_tpu.models.migt import MIGT
     from viewformer_tpu.parallel import mesh as mesh_lib
     from viewformer_tpu.parallel.sharding import transformer_state_shardings
-    from viewformer_tpu.train.transformer import make_transformer_train_step
+    from viewformer_tpu.train.transformer import (make_transformer_train_step,
+                                                  resolve_remat_policy)
 
     topo = topologies.get_topology_desc(platform='tpu', topology_name='v5e:2x4',
                                         chip_config_name='default')
@@ -127,12 +128,19 @@ def run_tpu_topology():
     report = {'config': '12L/768d/12H seq20 B40 remat dropout0.1',
               'target': 'TPU v5e 2x4 (topology AOT, real XLA TPU compiler)',
               'meshes': {}}
-    for dp, sp, tp in ((8, 1, 1), (4, 1, 2), (2, 2, 2)):
-        name = f'dp{dp}xsp{sp}xtp{tp}'
+    # last leg: the 'attn' remat policy (checkpoint_name anchors through the
+    # Mosaic shard_map wrap) must also survive the real multi-chip compiler
+    for dp, sp, tp, policy in ((8, 1, 1, None), (4, 1, 2, None),
+                               (2, 2, 2, None), (8, 1, 1, 'attn')):
+        name = f'dp{dp}xsp{sp}xtp{tp}' + (f'_{policy}' if policy else '')
         mesh = Mesh(np.asarray(topo.devices).reshape(dp, sp, tp),
                     ('data', 'seq', 'model'))
-        sp_model = (MIGT(config, dtype=model.dtype, dropout_impl='rng',
-                         remat=True, sp_axis='seq') if sp > 1 else model)
+        if sp > 1 or policy:
+            sp_model = MIGT(config, dtype=model.dtype, dropout_impl='rng',
+                            remat=True, sp_axis='seq' if sp > 1 else None,
+                            remat_policy=resolve_remat_policy(policy))
+        else:
+            sp_model = model
         shardings = transformer_state_shardings(state_s, mesh)
 
         def as_sds(leaf, s):
@@ -213,7 +221,7 @@ def run_tpu_topology():
     assert ccounts['all-reduce'] >= 1, ccounts  # dp grads + quantizer EMA stats
     print(f'codebook dp8: {ccounts} compile={t2 - t1:.1f}s')
 
-    out = os.path.join(REPO, 'LOWERING_TPU_r03.json')
+    out = os.path.join(REPO, 'LOWERING_TPU_TRAIN_r05.json')
     report['ok'] = True
     with open(out, 'w') as f:
         json.dump(report, f, indent=1)
