@@ -140,3 +140,30 @@ def test_aux_cursor_survives_commit_lag(tmp_path, monkeypatch):
     assert 'aux-10.json' not in aux_files and 'aux-20.json' not in aux_files
     mgr.close()
     assert CheckpointManager(job).load_aux()['step'] == 40
+
+def test_host_snapshot_mode(tmp_path):
+    """snapshot='host' (the HBM-heavy remat-policy fallback) must fetch the
+    state synchronously inside save() — donation-safe with ZERO device-side
+    copies held — and still commit bit-exactly through the background
+    worker. Regression target: 'attn' policy + mid-epoch device snapshots
+    RESOURCE_EXHAUSTED at full size (2026-08-19)."""
+    state = {'w': jnp.arange(8.0) * 3, 'step': jnp.asarray(7)}
+    expected = {k: np.asarray(v) for k, v in state.items()}
+    mgr = CheckpointManager(str(tmp_path / 'job'), snapshot='host')
+    mgr.save(0, state, val_loss=0.5)
+    # zero extra HBM: every queued payload must already be host numpy
+    for snap, _ in mgr._payloads.values():
+        assert all(isinstance(leaf, np.ndarray)
+                   for leaf in jax.tree.leaves(snap))
+    for leaf in jax.tree.leaves(state):
+        leaf.delete()  # donation after save() must not corrupt the commit
+    mgr.wait()
+    restored, step = mgr.restore_last()
+    mgr.close()
+    assert step == 0
+    np.testing.assert_array_equal(restored['w'], expected['w'])
+    np.testing.assert_array_equal(restored['step'], expected['step'])
+
+    import pytest
+    with pytest.raises(ValueError):
+        CheckpointManager(str(tmp_path / 'job2'), snapshot='hbm')

@@ -20,7 +20,26 @@ class CheckpointManager:
     """Two orbax managers: `last/` (rolling, every save) and `best/`
     (min-val-loss)."""
 
-    def __init__(self, job_dir, config=None):
+    def __init__(self, job_dir, config=None, snapshot='device'):
+        """snapshot: where save() snapshots the train state before the
+        background commit.
+          'device' (default) — jnp.copy on device; save() returns without
+            any D2H transfer and the background worker fetches while the
+            train loop keeps stepping. Costs up to 2 co-resident state
+            copies of HBM (rolling-last coalescing bound).
+          'host' — synchronous D2H fetch inside save(); zero extra HBM but
+            the train loop stalls for the transfer (~50s for the full-size
+            transformer state through the axon tunnel). Required with
+            HBM-heavy remat policies ('attn' et al.), whose saved
+            activations plus a device snapshot RESOURCE_EXHAUSTED at full
+            size (measured 2026-08-19; see train/transformer.py
+            warn_policy_snapshot_hbm). Single-process only — multi-process
+            saves always snapshot on device (orbax fetches distributed
+            arrays itself; per-process host fetches of non-addressable
+            arrays are impossible)."""
+        if snapshot not in ('device', 'host'):
+            raise ValueError(f'snapshot must be device|host, got {snapshot!r}')
+        self._snapshot_mode = snapshot
         self.job_dir = os.path.abspath(job_dir)
         os.makedirs(self.job_dir, exist_ok=True)
         if config is not None and jax.process_index() == 0:
@@ -106,9 +125,17 @@ class CheckpointManager:
         # orbax save while the train loop keeps stepping. orbax's own async
         # path is NOT enough: its save() call still fetches synchronously
         # and only backgrounds the file writes.
-        snapshot = jax.tree.map(
-            lambda a: jnp.copy(a) if isinstance(a, jax.Array) else np.asarray(a),
-            state)
+        if self._snapshot_mode == 'host' and self._background:
+            # Synchronous D2H inside save(): donation-safe (the fetch
+            # completes before the caller donates the live buffers into the
+            # next step) and holds ZERO extra HBM — the mode for HBM-heavy
+            # remat policies. The background worker then only does file I/O
+            # (its np.asarray pass is a no-op on numpy).
+            snapshot = jax.tree.map(np.asarray, state)
+        else:
+            snapshot = jax.tree.map(
+                lambda a: jnp.copy(a) if isinstance(a, jax.Array)
+                else np.asarray(a), state)
         val_loss = None if val_loss is None else float(val_loss)
         if not self._background:
             # multi-process: synchronous, every process participates in the

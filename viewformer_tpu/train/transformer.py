@@ -72,23 +72,29 @@ def clamp_steps_per_call(steps_per_call, config, force=False):
 
 
 def warn_policy_snapshot_hbm(remat_policy, checkpoint_every, config):
-    """Warn on activation-saving remat policies + mid-epoch snapshot saves.
+    """Detect activation-saving remat policies + mid-epoch snapshot saves.
 
     Measured 2026-08-19: the full-size B=40 recipe under 'attn' fits HBM
     bare, but mid-epoch async saves keep up to 2 device snapshots of the
     train state co-resident (checkpoint.py rolling-last bound) and the
     combination RESOURCE_EXHAUSTEDs at runtime around the first post-save
     window. Epoch-cadence saves (checkpoint_every=0) fit — that is how
-    TRANSFORMER40_r05_attn.json was measured. Returns True if it warned."""
+    TRANSFORMER40_r05_attn.json was measured. Returns True if the
+    combination is HBM-unsafe; the trainer then falls back to host-side
+    checkpoint snapshots (CheckpointManager snapshot='host': zero extra HBM,
+    but each save stalls the loop for the synchronous D2H — ~50s full-size
+    through the tunnel), which it warns about here."""
     if not (remat_policy in ('attn', 'attn_mlp', 'dots') and checkpoint_every
             and config.d_model >= 512):
         return False
     print(f'WARNING: --remat-policy {remat_policy} saves per-layer '
           f'activations; combined with mid-epoch --checkpoint-every '
-          f'device snapshots this exceeded HBM at full size (measured '
-          f'2026-08-19, runtime RESOURCE_EXHAUSTED). Prefer '
-          f'--checkpoint-every 0 (epoch-boundary saves only) with this '
-          f'policy, or --remat-policy full.', file=sys.stderr)
+          f'DEVICE checkpoint snapshots this exceeded HBM at full size '
+          f'(measured 2026-08-19, runtime RESOURCE_EXHAUSTED). Falling back '
+          f'to HOST snapshots: saves hold no extra HBM but block the train '
+          f'loop for the D2H fetch (~50s full-size). For fully-async saves '
+          f'use --checkpoint-every 0 (epoch-boundary saves only) or '
+          f'--remat-policy full.', file=sys.stderr)
     return True
 
 
@@ -364,7 +370,8 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
     batch_size = batch_size or config.batch_size
     steps_per_call = clamp_steps_per_call(steps_per_call, config,
                                           force=force_wide_scan)
-    warn_policy_snapshot_hbm(remat_policy, checkpoint_every, config)
+    hbm_unsafe = warn_policy_snapshot_hbm(remat_policy, checkpoint_every,
+                                          config)
     if mesh is None:
         mesh = mesh_lib.create_mesh_for_batch(batch_size,
                                               seq_parallelism=seq_parallelism)
@@ -376,7 +383,8 @@ def train_transformer(config: MIGTConfig, dataset_path, job_dir, *,
                                           dtype, dropout_impl=dropout_impl, remat=remat,
                                           sp_axis=sp_axis, remat_policy=remat_policy)
 
-    ckpt = CheckpointManager(job_dir, config)
+    ckpt = CheckpointManager(job_dir, config,
+                             snapshot='host' if hbm_unsafe else 'device')
     start_step = 0
     if finetune_from is not None:
         abstract = jax.tree.map(np.asarray, jax.device_get(state))
